@@ -1,0 +1,32 @@
+"""SpMM kernel registry and dispatcher.
+
+The reference explores ~36 CUDA kernel generations (``flex.cu:327-4124``);
+the TPU design keeps a small set of structurally distinct strategies and an
+autotuner that picks per matrix (SURVEY.md §7 step 4):
+
+- ``"ref"``        — SciPy host reference (golden).
+- ``"xla"``        — XLA take + segment-sum (always-correct device baseline).
+- ``"bsr"``        — Pallas block-sparse-row kernel on the MXU.
+- ``"panel"``      — Pallas row-panel kernel with gathered B rows.
+"""
+from __future__ import annotations
+
+
+def spmm(g, B, method: str = "xla", **kwargs):
+    """Compute ``C = A @ B`` for CSRGraph ``g`` and dense ``B``."""
+    from flex_tpu.ops import ref as _ref
+    from flex_tpu.ops import xla_spmm as _xla
+
+    if method == "ref":
+        return _ref.spmm_scipy(g, B)
+    if method == "xla":
+        return _xla.spmm_xla(g, B, **kwargs)
+    if method == "bsr":
+        from flex_tpu.ops import pallas_bsr as _bsr
+
+        return _bsr.spmm_bsr(g, B, **kwargs)
+    if method == "panel":
+        from flex_tpu.ops import pallas_panel as _panel
+
+        return _panel.spmm_panel(g, B, **kwargs)
+    raise ValueError(f"unknown spmm method {method!r}")

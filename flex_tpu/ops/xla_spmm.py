@@ -1,0 +1,68 @@
+"""XLA-native SpMM baseline: gather + segment-sum.
+
+This is the always-correct device path (the role cuSPARSE plays in the
+reference, ``flex.cu:5717-5804``): C[r] = Σ_e vals[e] · B[col[e]] grouped by
+row, expressed with ``jnp.take`` + ``jax.ops.segment_sum`` so XLA lowers it to
+its native dynamic-gather / scatter-add machinery.  Memory-bound by design
+(streams nnz·k elements); the Pallas kernels exist to beat it.
+
+Every SpMM implementation in flex_tpu follows the same two-phase contract:
+
+  plan = prepare_xla(g)   # host preprocessing, benchmarked as tPre
+  C    = plan(B)          # jitted device execution, benchmarked as tElap
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flex_tpu.sparse.csr import CSRGraph
+
+
+def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
+    out = np.full(size, fill, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _spmm_edges(rows, cols, vals, B, *, m):
+    gathered = jnp.take(B, cols, axis=0)  # [E, k]
+    contrib = gathered * vals[:, None]
+    return jax.ops.segment_sum(contrib, rows, num_segments=m)
+
+
+@dataclasses.dataclass
+class XLASpmmPlan:
+    rows: jax.Array  # int32[E_pad], padded entries point at row m (dropped)
+    cols: jax.Array  # int32[E_pad], padded entries point at col 0, val 0
+    vals: jax.Array  # float32[E_pad]
+    m: int
+
+    def __call__(self, B) -> jax.Array:
+        out = _spmm_edges(self.rows, self.cols, self.vals, B, m=self.m + 1)
+        return out[: self.m]
+
+    @property
+    def flops(self) -> int:
+        return 2 * int(self.vals.shape[0])  # per feature column
+
+
+def prepare_xla(g: CSRGraph, pad_multiple: int = 1024) -> XLASpmmPlan:
+    E = g.nnz
+    E_pad = -(-max(E, 1) // pad_multiple) * pad_multiple
+    rows = np.repeat(np.arange(g.m, dtype=np.int32), g.degrees)
+    rows = _pad_to(rows, E_pad, g.m)  # padding rows land in segment m
+    cols = _pad_to(g.col.astype(np.int32), E_pad, 0)
+    vals = _pad_to(g.vals, E_pad, 0.0)
+    return XLASpmmPlan(
+        rows=jnp.asarray(rows), cols=jnp.asarray(cols), vals=jnp.asarray(vals), m=g.m
+    )
+
+
+def spmm_xla(g: CSRGraph, B, **kwargs):
+    return prepare_xla(g, **kwargs)(jnp.asarray(B))

@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from flex_tpu.io import load_csv, make_features, save_csv
+from flex_tpu.io.synth import banded_graph, rmat_graph, uniform_graph
+from flex_tpu.sparse.csr import CSRGraph
+
+
+def test_a_mat_shape(a_mat):
+    # data/a_mat.csv: 48-row hand-check matrix (SURVEY.md §4.5).
+    assert a_mat.m == 48
+    assert a_mat.nnz == int(a_mat.row_ptr[-1])
+    assert a_mat.col.max() < a_mat.n
+
+
+def test_pubmed_shape(pubmed):
+    # README.md:13-20: Pubmed n=19717, nnz=108365.
+    assert pubmed.m == 19717
+    assert pubmed.nnz == 108365
+    assert pubmed.label_width == 3
+
+
+def test_pubmed_stats(pubmed):
+    s = pubmed.stats
+    # Pubmed citation graph is stored symmetrised in this format.
+    assert s.n_edges_one_way >= 0
+    assert s.n_nodes_zero_deg <= pubmed.m
+    assert pubmed.degrees.sum() == pubmed.nnz
+
+
+def test_roundtrip(tmp_path, a_mat):
+    p = tmp_path / "x.csv"
+    save_csv(a_mat, str(p))
+    g2 = load_csv(str(p))
+    np.testing.assert_array_equal(g2.row_ptr, a_mat.row_ptr)
+    np.testing.assert_array_equal(g2.col, a_mat.col)
+    np.testing.assert_allclose(g2.vals, a_mat.vals, rtol=1e-6)
+
+
+def test_no_vals_line(tmp_path):
+    p = tmp_path / "amazon.csv"
+    with open(p, "w") as f:
+        f.write("0,2,3\n")
+        f.write("1,2,0\n")
+    g = load_csv(str(p))
+    assert g.m == 2 and g.nnz == 3
+    assert np.all(np.abs(g.vals) <= 1.0)
+
+
+def test_features(pubmed):
+    B = make_features(pubmed, 32)
+    assert B.shape == (pubmed.n, 32)
+    assert B.dtype == np.float32
+    dbg = make_features(pubmed, 4, debug=True)
+    np.testing.assert_array_equal(dbg[:, 0], np.arange(pubmed.n))
+
+
+@pytest.mark.parametrize(
+    "gen", [lambda: rmat_graph(512, 4096), lambda: uniform_graph(512, 4096),
+            lambda: banded_graph(512, 16, 8.0)]
+)
+def test_synth_valid(gen):
+    g = gen()
+    assert g.m == 512
+    assert np.all(np.diff(g.row_ptr) >= 0)
+    assert g.col.max() < g.n
+    # columns sorted within rows (from_coo lexsorts)
+    rows = np.repeat(np.arange(g.m), g.degrees)
+    order = np.lexsort((g.col, rows))
+    np.testing.assert_array_equal(order, np.arange(g.nnz))
+
+
+def test_from_coo_matches_scipy():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, 64, 300)
+    c = rng.integers(0, 64, 300)
+    v = rng.random(300).astype(np.float32)
+    # dedupe for exact comparison
+    keys = r * 64 + c
+    _, idx = np.unique(keys, return_index=True)
+    r, c, v = r[idx], c[idx], v[idx]
+    g = CSRGraph.from_coo(r, c, v, 64)
+    ref = sp.coo_matrix((v, (r, c)), shape=(64, 64)).tocsr()
+    np.testing.assert_array_equal(g.row_ptr, ref.indptr)
+    np.testing.assert_array_equal(g.col, ref.indices)
+    np.testing.assert_allclose(g.vals, ref.data)
