@@ -10,10 +10,19 @@ import numpy as np
 from flex_tpu.sparse.csr import CSRGraph
 
 
-def order_dfs(g: CSRGraph) -> np.ndarray:
+def order_dfs(g: CSRGraph, use_native: bool | None = None) -> np.ndarray:
     n = g.m
     row_ptr = g.row_ptr
     col = g.col
+
+    if use_native is None:
+        from flex_tpu.reorder import native
+
+        use_native = native.available()
+    if use_native:
+        from flex_tpu.reorder import native
+
+        return native.order_dfs_native(row_ptr, col)
     visited = np.zeros(n, dtype=bool)
     perm = np.empty(n, dtype=np.int64)  # perm[new] = old
     nxt = 0  # next new id to hand out

@@ -35,7 +35,7 @@ def _relabel_csr(row_ptr, col, old_to_new, n):
     return rp, new_cols
 
 
-def order_gorder(g: CSRGraph, window: int = 3) -> np.ndarray:
+def order_gorder(g: CSRGraph, window: int = 3, use_native: bool | None = None) -> np.ndarray:
     """Return perm[new] = old. ``window=3`` matches ``DataLoader.cu:808``."""
     n = g.m
     if n == 0:
@@ -51,6 +51,18 @@ def order_gorder(g: CSRGraph, window: int = 3) -> np.ndarray:
     in_rp, in_col = _relabel_csr(
         *_transpose_csr(g.row_ptr, g.col.astype(np.int64), n), rank_rcm, n
     )
+
+    if use_native is None:
+        from flex_tpu.reorder import native
+
+        use_native = native.available()
+    if use_native:
+        from flex_tpu.reorder import native
+
+        order_arr = native.order_gorder_native(
+            out_rp, out_col.astype(np.int32), in_rp, in_col.astype(np.int32), window
+        )
+        return perm_rcm[order_arr]
 
     deg_out = np.diff(out_rp)
     deg_in = np.diff(in_rp)

@@ -1,0 +1,105 @@
+"""ctypes bindings + lazy build for the C++ reordering natives.
+
+Compiles ``_native/reorder.cc`` with g++ on first use (cached by source
+mtime); every entry point has a pure-Python fallback, so the framework works
+without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_native", "reorder.cc")
+_LIB = os.path.join(_DIR, "_native", "libflexreorder.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.flex_order_dfs.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+            lib.flex_order_gorder.argtypes = [
+                ctypes.c_int64, i64p, i32p, i64p, i32p, ctypes.c_int64, i64p,
+            ]
+            lib.flex_order_rabbit.argtypes = [
+                ctypes.c_int64, i64p, i32p, ctypes.c_int32, ctypes.c_int64, i64p,
+            ]
+            _lib = lib
+        except Exception as e:  # toolchain missing / compile failure
+            _build_error = str(e)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def order_dfs_native(row_ptr: np.ndarray, col: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    n = len(row_ptr) - 1
+    out = np.empty(n, dtype=np.int64)
+    lib.flex_order_dfs(
+        n, np.ascontiguousarray(row_ptr, np.int64),
+        np.ascontiguousarray(col, np.int32), out,
+    )
+    return out
+
+
+def order_gorder_native(
+    out_rp: np.ndarray, out_col: np.ndarray,
+    in_rp: np.ndarray, in_col: np.ndarray, window: int,
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    n = len(out_rp) - 1
+    out = np.empty(n, dtype=np.int64)
+    lib.flex_order_gorder(
+        n,
+        np.ascontiguousarray(out_rp, np.int64),
+        np.ascontiguousarray(out_col, np.int32),
+        np.ascontiguousarray(in_rp, np.int64),
+        np.ascontiguousarray(in_col, np.int32),
+        window, out,
+    )
+    return out
+
+
+def order_rabbit_native(
+    row_ptr: np.ndarray, col: np.ndarray, force_undirected: bool,
+    max_rounds: int = 64,
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    n = len(row_ptr) - 1
+    out = np.empty(n, dtype=np.int64)
+    lib.flex_order_rabbit(
+        n, np.ascontiguousarray(row_ptr, np.int64),
+        np.ascontiguousarray(col, np.int32),
+        1 if force_undirected else 0, max_rounds, out,
+    )
+    return out

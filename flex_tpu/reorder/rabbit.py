@@ -21,10 +21,23 @@ import numpy as np
 from flex_tpu.sparse.csr import CSRGraph
 
 
-def order_rabbit(g: CSRGraph, max_rounds: int = 64) -> np.ndarray:
+def order_rabbit(
+    g: CSRGraph, max_rounds: int = 64, use_native: bool | None = None
+) -> np.ndarray:
     n = g.m
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+
+    if use_native is None:
+        from flex_tpu.reorder import native
+
+        use_native = native.available()
+    if use_native:
+        from flex_tpu.reorder import native
+
+        return native.order_rabbit_native(
+            g.row_ptr, g.col, g.stats.is_directed, max_rounds
+        )
 
     # Unit-weight undirected adjacency maps (DataLoader.cu:512-534).
     adj: list[dict[int, int]] = [dict() for _ in range(n)]
@@ -59,11 +72,14 @@ def order_rabbit(g: CSRGraph, max_rounds: int = 64) -> np.ndarray:
             if not au:
                 continue
             dv_2m = deg[u] * two_m_inv
-            # argmax ΔQ over neighbors (DataLoader.cu:545-551)
+            # argmax ΔQ over neighbors (DataLoader.cu:545-551); the reference
+            # iterates an ordered map with strict >, i.e. ties prefer the
+            # smallest neighbor id — reproduce that rule explicitly so the
+            # C++ native (unordered_map) agrees.
             best_dq, v = -1.0, -1
             for d, w in au.items():
                 dq = w - deg[d] * dv_2m
-                if dq > best_dq:
+                if dq > best_dq or (dq == best_dq and d < v):
                     best_dq, v = dq, d
             if best_dq <= 0 or v < 0:
                 continue
