@@ -1,0 +1,198 @@
+"""Benchmark harness.
+
+TPU re-design of the reference's ``run()`` sweep (``flex.cu:4560-5716``):
+drives ordering × format × kernel configurations, times preprocessing (tPre)
+and execution (tElap), verifies against the SciPy gold with the per-row
+tolerance model, and emits a CSV.
+
+Metric conventions (BASELINE.md): GFLOP/s = 2·nnz·k / tElap (the 2× FMA
+convention used by the reference's CSV and ASpT); tPre/tElap is the
+preprocessing-to-kernel-time ratio; Errs% the fraction of outputs beyond
+tolerance.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.utils.check import CheckResult, res_check
+
+# Roofline constants for the chips we target (the reference hardcodes H100
+# roofs at flex.cu:5241-5277; these are published TPU peak numbers).
+ROOFLINE = {
+    # bytes/s HBM, FLOP/s bf16 (MXU), FLOP/s f32-ish (bf16x3 MXU path)
+    "v5e": {"hbm": 819e9, "bf16": 197e12, "f32": 49e12},
+    "v5p": {"hbm": 2765e9, "bf16": 459e12, "f32": 115e12},
+}
+
+
+@dataclasses.dataclass
+class BenchResult:
+    graph: str
+    order: str
+    method: str
+    k: int
+    m: int
+    nnz: int
+    t_pre: float
+    t_elap: float
+    gflops: float           # 2·nnz·k / tElap
+    pre_ratio: float        # tPre / tElap
+    check: CheckResult | None
+    extra: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def row(self) -> dict:
+        d = {
+            "graph": self.graph, "order": self.order, "method": self.method,
+            "k": self.k, "m": self.m, "nnz": self.nnz,
+            "t_pre_s": round(self.t_pre, 6), "t_elap_ms": round(self.t_elap * 1e3, 4),
+            "gflops": round(self.gflops, 2), "pre_ratio": round(self.pre_ratio, 3),
+            "err_frac": self.check.err_frac if self.check else None,
+            "max_err": self.check.max_err if self.check else None,
+        }
+        d.update(self.extra)
+        return d
+
+
+def _sync(out) -> None:
+    """Force completion.  Under the axon TPU relay ``block_until_ready`` does
+    not actually round-trip, so sync through a device-to-host copy of (a leaf
+    of) the output."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
+    """cuSpmm-style timing: warmup launches then averaged timed launches
+    (reference flex.cu:5047-5067 does 5 warmup + 10 timed).  The device
+    executes launches in order, so timing N dispatches between two host
+    syncs measures N kernel executions plus one small D2H."""
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_spmm(
+    g: CSRGraph,
+    k: int,
+    method: str = "xla",
+    prepare: Callable[[CSRGraph], Any] | None = None,
+    B: np.ndarray | None = None,
+    gold: np.ndarray | None = None,
+    check: bool = True,
+    iters: int = 10,
+    **prep_kwargs,
+) -> BenchResult:
+    import jax.numpy as jnp
+
+    from flex_tpu.io.csv_loader import make_features
+    from flex_tpu.ops import ref as _ref
+
+    if B is None:
+        B = make_features(g, k)
+    if prepare is None:
+        prepare = _resolve_prepare(method)
+
+    t0 = time.perf_counter()
+    plan = prepare(g, **prep_kwargs)
+    t_pre = time.perf_counter() - t0
+
+    B_dev = jnp.asarray(B)
+    t_elap = _time_device(plan, B_dev, iters=iters)
+
+    chk = None
+    if check:
+        if gold is None:
+            gold = _ref.spmm_scipy(g, B)
+        chk = res_check(gold, np.asarray(plan(B_dev)), g.degrees)
+
+    return BenchResult(
+        graph=g.name, order=g.order, method=method, k=k, m=g.m, nnz=g.nnz,
+        t_pre=t_pre, t_elap=t_elap,
+        gflops=2 * g.nnz * k / t_elap / 1e9,
+        pre_ratio=t_pre / t_elap if t_elap else float("inf"),
+        check=chk,
+    )
+
+
+def _resolve_prepare(method: str) -> Callable:
+    if method == "xla":
+        from flex_tpu.ops.xla_spmm import prepare_xla
+
+        return prepare_xla
+    if method == "panel":
+        from flex_tpu.ops.panel_spmm import prepare_panel
+
+        return prepare_panel
+    if method == "bsr":
+        from flex_tpu.ops.pallas_bsr import prepare_bsr
+
+        return prepare_bsr
+    raise ValueError(f"unknown method {method!r}")
+
+
+def sweep(
+    g: CSRGraph,
+    ks: tuple[int, ...] = (32, 128),
+    orders: tuple[str, ...] = ("ovo", "deg", "rcm", "rabbit"),
+    methods: tuple[str, ...] = ("xla",),
+    csv_path: str | None = None,
+    check: bool = True,
+) -> list[BenchResult]:
+    """Ordering × k × method sweep, like the reference's run() over
+    4 orderings × 4 tile shapes."""
+    from flex_tpu.reorder import reorder
+
+    results = []
+    for order in orders:
+        g_ord = reorder(g, order, check=False) if order != "ovo" else g
+        for k in ks:
+            for method in methods:
+                try:
+                    r = bench_spmm(g_ord, k, method=method, check=check)
+                except Exception as e:  # record failures, keep sweeping
+                    r = BenchResult(
+                        graph=g.name, order=order, method=method, k=k, m=g.m,
+                        nnz=g.nnz, t_pre=0.0, t_elap=float("inf"), gflops=0.0,
+                        pre_ratio=0.0, check=None,
+                        extra={"error": f"{type(e).__name__}: {e}"[:200]},
+                    )
+                results.append(r)
+                print(_fmt(r))
+    if csv_path:
+        write_csv(results, csv_path)
+    return results
+
+
+def _fmt(r: BenchResult) -> str:
+    err = f"err={r.check.err_frac:.2e}" if r.check else r.extra.get("error", "")
+    return (
+        f"{r.graph:>14s} {r.order:>4s} {r.method:>6s} k={r.k:<4d} "
+        f"tPre={r.t_pre*1e3:8.1f}ms tElap={r.t_elap*1e3:8.3f}ms "
+        f"{r.gflops:8.1f} GF/s pre/elap={r.pre_ratio:8.2f} {err}"
+    )
+
+
+def write_csv(results: list[BenchResult], path: str) -> None:
+    import csv
+
+    rows = [r.row() for r in results]
+    keys: list[str] = []
+    for row in rows:
+        for key in row:
+            if key not in keys:
+                keys.append(key)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)

@@ -26,7 +26,7 @@ def spmm(g, B, method: str = "xla", **kwargs):
 
         return _bsr.spmm_bsr(g, B, **kwargs)
     if method == "panel":
-        from flex_tpu.ops import pallas_panel as _panel
+        from flex_tpu.ops import panel_spmm as _panel
 
         return _panel.spmm_panel(g, B, **kwargs)
     raise ValueError(f"unknown spmm method {method!r}")
