@@ -63,8 +63,10 @@ def _sync(out) -> None:
     """Force completion.  Under the axon TPU relay ``block_until_ready`` does
     not actually round-trip, so sync through a device-to-host copy of (a leaf
     of) the output."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+            return
 
 
 def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
@@ -103,8 +105,21 @@ def bench_spmm(
     if prepare is None:
         prepare = _resolve_prepare(method)
 
+    extra: dict[str, Any] = {}
+    if method == "ell" and "dev" not in prep_kwargs:
+        # CSR upload is the loader's job (reference cuda_alloc_cpy), not
+        # preprocessing; time it separately.
+        from flex_tpu.sparse.device import DeviceCSR
+
+        t0 = time.perf_counter()
+        dev = DeviceCSR.from_graph(g)
+        _sync(dev.vals)
+        extra["t_upload_s"] = round(time.perf_counter() - t0, 3)
+        prep_kwargs["dev"] = dev
+
     t0 = time.perf_counter()
     plan = prepare(g, **prep_kwargs)
+    _sync(getattr(plan, "__dict__", plan))
     t_pre = time.perf_counter() - t0
 
     B_dev = jnp.asarray(B)
@@ -122,6 +137,7 @@ def bench_spmm(
         gflops=2 * g.nnz * k / t_elap / 1e9,
         pre_ratio=t_pre / t_elap if t_elap else float("inf"),
         check=chk,
+        extra=extra,
     )
 
 
@@ -130,6 +146,10 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.xla_spmm import prepare_xla
 
         return prepare_xla
+    if method == "ell":
+        from flex_tpu.ops.ell_spmm import prepare_ell
+
+        return prepare_ell
     if method == "panel":
         from flex_tpu.ops.panel_spmm import prepare_panel
 

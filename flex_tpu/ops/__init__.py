@@ -25,6 +25,10 @@ def spmm(g, B, method: str = "xla", **kwargs):
         from flex_tpu.ops import pallas_bsr as _bsr
 
         return _bsr.spmm_bsr(g, B, **kwargs)
+    if method == "ell":
+        from flex_tpu.ops import ell_spmm as _ell
+
+        return _ell.spmm_ell(g, B, **kwargs)
     if method == "panel":
         from flex_tpu.ops import panel_spmm as _panel
 
