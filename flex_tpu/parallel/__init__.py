@@ -1,0 +1,4 @@
+from flex_tpu.parallel.mesh import make_mesh
+from flex_tpu.parallel.spmm_sharded import ShardedEllPlan, prepare_ell_sharded
+
+__all__ = ["make_mesh", "ShardedEllPlan", "prepare_ell_sharded"]
