@@ -1,0 +1,70 @@
+"""Command-line interface.
+
+Mirrors the reference's CLI contract (``main.cu:12``, ``run.sh:7``):
+
+    python -m flex_tpu <graph.csv> <k> [--order=deg] [--method=auto] ...
+
+Loads the graph, prints its statistics (the reference prints directedness /
+zero-degree counts before running), applies the ordering, runs the requested
+SpMM strategy (or the ordering×method sweep), verifies against SciPy, and
+prints the report table / CSV.
+"""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None) -> int:
+    from flex_tpu.config import FlexConfig
+
+    cfg, pos = FlexConfig.from_args(argv if argv is not None else sys.argv[1:])
+    if len(pos) < 1:
+        print(__doc__)
+        return 2
+    path = pos[0]
+    if len(pos) > 1:
+        cfg.k = int(pos[1])
+
+    from flex_tpu.bench.autotune import suggest
+    from flex_tpu.bench.harness import bench_spmm, _fmt, write_csv
+    from flex_tpu.io import load_csv
+    from flex_tpu.reorder import reorder
+
+    g = load_csv(path)
+    s = g.stats
+    print(f"{g}")
+    print(
+        f"  one-way edges={s.n_edges_one_way} asymmetric={s.n_edges_asymmetric} "
+        f"zero-out={s.n_nodes_zero_out} zero-in={s.n_nodes_zero_in} "
+        f"zero-deg={s.n_nodes_zero_deg} unit-rows={s.n_unit_rows} "
+        f"directed={s.is_directed}"
+    )
+    print(f"  degree histogram [1,2) [2,4) [4,8) [8,16) [16,inf): "
+          f"{g.degree_histogram().tolist()}")
+
+    if cfg.order != "ovo":
+        print(f"applying ordering: {cfg.order}")
+        g = reorder(g, cfg.order, check=False)
+
+    method = cfg.method
+    if method == "auto":
+        sug = suggest(g, cfg.k, tm=cfg.tm)
+        method = sug.method
+        print(f"auto-selected method: {method} ({sug.reason})")
+
+    r = bench_spmm(
+        g, cfg.k, method=method, iters=cfg.iters, check=cfg.check,
+        **cfg.prep_kwargs(method),
+    )
+    print(_fmt(r))
+    if cfg.csv:
+        write_csv([r], cfg.csv)
+        print(f"wrote {cfg.csv}")
+    if r.check is not None and not r.check.ok:
+        print(f"RESULT CHECK FAILED: {r.check}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,70 @@
+"""Runtime configuration.
+
+The reference configures everything at compile time (kernel choice
+``#define flex_kernel``, tile-shape macros, ``NNZ_LIMIT``, in-source bools —
+``flex.cu:4720-4761``, ``flex.cuh:15-48``, ``mat.cuh:16``).  The TPU build
+replaces that with one dataclass that the CLI, bench harness, and autotuner
+share (SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class FlexConfig:
+    # kernel strategy: "ell" | "panel" | "xla" | "auto"
+    method: str = "auto"
+    # vertex ordering: "ovo" | "deg" | "rcm" | "dfs" | "gorder" | "rabbit"
+    order: str = "deg"
+    k: int = 128
+
+    # ell params
+    widths: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    b_dtype: str = "float32"          # "bfloat16" = fast inference mode
+
+    # panel params
+    tm: int = 128
+    hub_threshold: int = 512
+    hub_width: int = 2048
+
+    # bench params
+    iters: int = 10
+    check: bool = True
+    csv: str | None = None
+
+    def prep_kwargs(self, method: str) -> dict:
+        if method == "ell":
+            return {"widths": self.widths, "b_dtype": self.b_dtype}
+        if method == "panel":
+            return {
+                "tm": self.tm,
+                "hub_threshold": self.hub_threshold,
+                "hub_width": self.hub_width,
+            }
+        return {}
+
+    @staticmethod
+    def from_args(argv) -> tuple["FlexConfig", list[str]]:
+        """Parse --key=value overrides; returns (config, positional args)."""
+        cfg = FlexConfig()
+        pos = []
+        for a in argv:
+            if a.startswith("--"):
+                key, _, val = a[2:].partition("=")
+                key = key.replace("-", "_")
+                if not hasattr(cfg, key):
+                    raise SystemExit(f"unknown flag --{key}")
+                cur = getattr(cfg, key)
+                if isinstance(cur, bool):
+                    val = val.lower() not in ("0", "false", "no") if val else True
+                elif isinstance(cur, int):
+                    val = int(val)
+                elif isinstance(cur, tuple):
+                    val = tuple(int(x) for x in val.split(","))
+                elif cur is None or isinstance(cur, str):
+                    val = val or None
+                setattr(cfg, key, val)
+            else:
+                pos.append(a)
+        return cfg, pos

@@ -58,14 +58,21 @@ def _build_arena(dev_row_ptr, dev_col, dev_vals, width_of_row, chunk_base,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "views", "max_gather_rows", "out_rows")
+    jax.jit,
+    static_argnames=("m", "views", "max_gather_rows", "out_rows", "b_dtype"),
 )
 def _ell_spmm(cols_a, vals_a, chunk_row, B, *, m, views, max_gather_rows,
-              out_rows):
+              out_rows, b_dtype="float32"):
     """views: tuple of (arena_offset, N, w) per bucket — static.
     chunk_row: int32[total_chunks] output row per chunk (bucket-major order).
+    b_dtype: gather-source dtype. "bfloat16" is the fast inference mode —
+      bf16 row gathers run ~3x faster on this hardware
+      (docs/measurements.md) at ~1e-3 relative error; accumulation stays
+      f32 either way.
     """
     k = B.shape[1]
+    if b_dtype != "float32":
+        B = B.astype(b_dtype)
     parts = []
     for off, N, w in views:
         cols = jax.lax.dynamic_slice(cols_a, (off,), (N * w,)).reshape(N, w)
@@ -75,7 +82,9 @@ def _ell_spmm(cols_a, vals_a, chunk_row, B, *, m, views, max_gather_rows,
             c = cols[s : s + step]
             v = vals[s : s + step]
             Bg = jnp.take(B, c.reshape(-1), axis=0).reshape(*c.shape, k)
-            parts.append((v[:, :, None] * Bg).sum(axis=1))
+            parts.append(
+                (v[:, :, None] * Bg.astype(jnp.float32)).sum(axis=1)
+            )
     partial = jnp.concatenate(parts, axis=0)
     return jnp.zeros((out_rows, k), jnp.float32).at[chunk_row].add(partial)[:m]
 
@@ -90,12 +99,13 @@ class EllPlan:
     padded_nnz: int
     nnz: int
     max_gather_rows: int = 2 * 1024 * 1024
+    b_dtype: str = "float32"
 
     def __call__(self, B) -> jax.Array:
         return _ell_spmm(
             self.cols_a, self.vals_a, self.chunk_row, B, m=self.m,
             views=self.views, max_gather_rows=self.max_gather_rows,
-            out_rows=self.m,
+            out_rows=self.m, b_dtype=self.b_dtype,
         )
 
     @property
@@ -112,6 +122,7 @@ def prepare_ell(
     g: CSRGraph,
     dev: DeviceCSR | None = None,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    b_dtype: str = "float32",
 ) -> EllPlan:
     """Host: O(m) metadata.  Device: one scatter builds the ELL arena."""
     if dev is None:
@@ -161,6 +172,7 @@ def prepare_ell(
         m=m, cols_a=cols_a, vals_a=vals_a,
         chunk_row=jnp.asarray(chunk_row),
         views=tuple(views), padded_nnz=arena_len, nnz=g.nnz,
+        b_dtype=b_dtype,
     )
 
 

@@ -1,0 +1,48 @@
+import numpy as np
+import pytest
+
+from flex_tpu.bench.gcn_bench import bench_gcn_layer
+from flex_tpu.tiling.stats import data_volume_est, tile_stats
+from flex_tpu.utils.trace import StageTimer
+
+
+def test_gcn_bench_cross_check(small_rmat):
+    r = bench_gcn_layer(small_rmat, d=16, c=8, iters=2)
+    assert r.cross_err_frac < 1e-4, r
+    assert r.scipy_err_frac < 1e-4, r
+    assert r.auto_choice in ("axw", "ax_w")
+    gf = r.gflops(small_rmat.nnz, small_rmat.m)
+    assert gf["axw"] > 0 and gf["ax_w"] > 0
+
+
+def test_tile_stats_sanity(pubmed):
+    st = tile_stats(pubmed, bm=8)
+    assert st.nnz == pubmed.nnz
+    assert 0 < st.occupancy <= 1
+    assert st.flop_inflation >= 1
+    assert st.panel_nnz_imbalance >= 0
+    dv = data_volume_est(pubmed, 32, "xla")
+    dv2 = data_volume_est(pubmed, 32, "ideal")
+    assert dv["bytes"] > dv2["bytes"]
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "total" in rep
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from flex_tpu.models.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"W": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    save_checkpoint(str(tmp_path / "ck"), params, step=7)
+    got = restore_checkpoint(str(tmp_path / "ck"))
+    assert got["step"] == 7
+    np.testing.assert_array_equal(np.asarray(got["params"]["W"]), np.ones((4, 4)))

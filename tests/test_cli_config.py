@@ -1,0 +1,75 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flex_tpu.config import FlexConfig
+from flex_tpu.bench.autotune import suggest
+from flex_tpu.io import load_csv, make_features
+from flex_tpu.io.csv_loader import save_csv
+from flex_tpu.ops.ell_spmm import prepare_ell
+from flex_tpu.ops.ref import spmm_scipy
+from flex_tpu.utils.check import res_check, res_check2
+
+
+def test_config_from_args():
+    cfg, pos = FlexConfig.from_args(
+        ["a.csv", "64", "--order=rcm", "--method=ell", "--widths=4,8,16",
+         "--check=false", "--tm=256"]
+    )
+    assert pos == ["a.csv", "64"]
+    assert cfg.order == "rcm" and cfg.method == "ell"
+    assert cfg.widths == (4, 8, 16)
+    assert cfg.check is False and cfg.tm == 256
+
+
+def test_config_unknown_flag():
+    with pytest.raises(SystemExit):
+        FlexConfig.from_args(["--nope=1"])
+
+
+def test_cli_runs(pubmed, capsys, tmp_path):
+    from flex_tpu.cli import main
+
+    csv = tmp_path / "out.csv"
+    rc = main([
+        "/root/reference/data/pubmed.csv", "16", "--method=xla",
+        "--iters=2", f"--csv={csv}",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pubmed" in out
+    assert csv.exists()
+
+
+def test_suggest_modes(pubmed, a_mat):
+    s = suggest(a_mat)  # tiny
+    assert s.method == "xla"
+    s = suggest(pubmed)
+    assert s.method in ("ell", "panel")
+
+
+def test_mtx_roundtrip(tmp_path, small_rmat):
+    import scipy.io
+
+    from flex_tpu.io.mtx import load_mtx, mtx_to_csv
+
+    p = tmp_path / "g.mtx"
+    scipy.io.mmwrite(str(p), small_rmat.to_scipy())
+    g = load_mtx(str(p.with_suffix(".mtx")))
+    assert g.m == small_rmat.m
+    assert g.nnz == np.count_nonzero(small_rmat.vals)
+
+    csv = tmp_path / "g.csv"
+    mtx_to_csv(str(p), str(csv))
+    g2 = load_csv(str(csv))
+    assert g2.nnz == g.nnz
+
+
+def test_ell_bf16_mode(pubmed):
+    B = make_features(pubmed, 32)
+    plan = prepare_ell(pubmed, b_dtype="bfloat16")
+    C = np.asarray(plan(jnp.asarray(B)))
+    gold = spmm_scipy(pubmed, B)
+    # bf16 inference mode: loose absolute tolerance, not the strict model
+    chk = res_check2(gold, C, tol=0.05)
+    assert chk.err_frac < 0.001, chk
