@@ -1,0 +1,136 @@
+"""Two decisive experiments:
+
+M3-final: per-row DMA gather rate inside a Pallas kernel (idx staged through
+SMEM via scalar prefetch with valid block shapes).
+
+U16x2: exact-f32 SpMM via two uint16-plane gathers (hi/lo 16 bits of each
+f32), if u16 row-gathers run at bf16-like rates.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from flex_tpu.bench.harness import _time_device
+
+
+def p(s):
+    print(s, flush=True)
+
+
+def m3_final():
+    m, k = 262144, 128
+    ROWS_PER_STEP = 1024  # = 8*128 idx block
+    N_STEPS = 64
+    DEPTH = 16
+
+    B = jax.random.uniform(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    idx = jax.random.randint(
+        jax.random.PRNGKey(1), (N_STEPS * 8, 128), 0, m, jnp.int32
+    )
+
+    def kernel(idx_smem, b_hbm, out_ref, buf, sems):
+        def issue(i, slot):
+            r = idx_smem[i // 128, i % 128]
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(r, 1), :], buf.at[slot], sems.at[slot]
+            ).start()
+
+        for s in range(DEPTH):
+            issue(s, s)
+
+        def body(i, acc):
+            slot = i % DEPTH
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(0, 1), :], buf.at[slot], sems.at[slot]
+            ).wait()
+            acc = acc + buf[slot, 0, :]
+
+            @pl.when(i + DEPTH < ROWS_PER_STEP)
+            def _():
+                issue(i + DEPTH, (i + DEPTH) % DEPTH)
+
+            return acc
+
+        acc = jax.lax.fori_loop(0, ROWS_PER_STEP, body,
+                                jnp.zeros((k,), jnp.float32))
+        out_ref[0, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(N_STEPS,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, k), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, 1, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    f = jax.jit(lambda i, b: call(i, b))
+    try:
+        dt = _time_device(f, idx, B, iters=10)
+        total = ROWS_PER_STEP * N_STEPS
+        p(f"M3 per-row DMA: {total/dt/1e6:.1f} M rows/s ({total*512/dt/1e9:.1f} GB/s) "
+          f"[{dt*1e3:.2f} ms/{total} rows]")
+    except Exception as e:
+        p(f"M3 FAILED: {type(e).__name__}: {str(e)[:400]}")
+
+
+def u16x2():
+    m, k, w = 232_965, 128, 128
+    NN = 235_000  # 30M padded nnz
+    B = jax.random.uniform(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    cols = jax.random.randint(jax.random.PRNGKey(1), (NN, w), 0, m, jnp.int32)
+    v = jnp.ones((NN, w), jnp.float32)
+
+    Bi = jax.lax.bitcast_convert_type(B, jnp.uint32)
+    B_hi = (Bi >> 16).astype(jnp.uint16)
+    B_lo = (Bi & 0xFFFF).astype(jnp.uint16)
+
+    idx = cols[:60_000].reshape(-1)
+    t = jax.jit(lambda c, b: jnp.take(b, c, axis=0))
+    dt = _time_device(t, idx, B_hi, iters=10)
+    p(f"take-only u16 7.7M rows: {dt*1e3:.1f} ms ({7.68e6/dt/1e6:.0f} M rows/s)")
+
+    @jax.jit
+    def spmm_u16(c, v, bh, bl):
+        out = []
+        step = 16384
+        for s in range(0, NN, step):
+            e = min(s + step, NN)
+            ids = c[s:e].reshape(-1)
+            gh = jnp.take(bh, ids, axis=0)
+            gl = jnp.take(bl, ids, axis=0)
+            g32 = jax.lax.bitcast_convert_type(
+                (gh.astype(jnp.uint32) << 16) | gl.astype(jnp.uint32),
+                jnp.float32,
+            ).reshape(e - s, w, k)
+            out.append((v[s:e, :, None] * g32).sum(axis=1))
+        return jnp.concatenate(out, 0)
+
+    try:
+        dt = _time_device(spmm_u16, cols, v, B_hi, B_lo, iters=10)
+        p(f"u16x2 exact take+reduce 30M: {dt*1e3:.1f} ms")
+        # verify exactness on a slice
+        got = np.asarray(spmm_u16(cols[:256], v[:256], B_hi, B_lo))
+        Bg = np.asarray(B)[np.asarray(cols[:256]).reshape(-1)].reshape(256, w, k)
+        want = (np.asarray(v[:256])[:, :, None] * Bg).sum(axis=1)
+        p(f"u16x2 exact? max abs diff = {np.abs(got - want).max():.3e}")
+    except Exception as e:
+        p(f"u16x2 FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
+if __name__ == "__main__":
+    p(f"device: {jax.devices()}")
+    u16x2()
+    m3_final()

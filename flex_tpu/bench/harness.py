@@ -106,7 +106,7 @@ def bench_spmm(
         prepare = _resolve_prepare(method)
 
     extra: dict[str, Any] = {}
-    if method == "ell" and "dev" not in prep_kwargs:
+    if method in ("ell", "band") and "dev" not in prep_kwargs:
         # CSR upload is the loader's job (reference cuda_alloc_cpy), not
         # preprocessing; time it separately.
         from flex_tpu.sparse.device import DeviceCSR
@@ -150,6 +150,10 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.ell_spmm import prepare_ell
 
         return prepare_ell
+    if method == "band":
+        from flex_tpu.ops.pallas_band import prepare_band
+
+        return prepare_band
     if method == "panel":
         from flex_tpu.ops.panel_spmm import prepare_panel
 

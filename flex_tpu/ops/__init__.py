@@ -29,6 +29,10 @@ def spmm(g, B, method: str = "xla", **kwargs):
         from flex_tpu.ops import ell_spmm as _ell
 
         return _ell.spmm_ell(g, B, **kwargs)
+    if method == "band":
+        from flex_tpu.ops import pallas_band as _band
+
+        return _band.spmm_band(g, B, **kwargs)
     if method == "panel":
         from flex_tpu.ops import panel_spmm as _panel
 
