@@ -46,6 +46,19 @@ def main(argv=None) -> int:
         print(f"applying ordering: {cfg.order}")
         g = reorder(g, cfg.order, check=False)
 
+    if cfg.method == "sweep":
+        # the reference's run(): ordering × method sweep with one report
+        # table (flex.cu:4560-5716)
+        from flex_tpu.bench.harness import sweep
+
+        results = sweep(
+            g, ks=(cfg.k,), orders=("ovo", "deg", "rcm", "rabbit"),
+            methods=("xla", "ell", "panel"), csv_path=cfg.csv,
+            check=cfg.check,
+        )
+        bad = [r for r in results if r.check is not None and not r.check.ok]
+        return 1 if bad else 0
+
     method = cfg.method
     if method == "auto":
         sug = suggest(g, cfg.k, tm=cfg.tm)

@@ -8,10 +8,11 @@ rows — zero FLOP inflation, no MXU precision concerns, no atomics (chunk
 partials combine in one scatter-add, replacing the reference's
 MSB/atomicAdd protocol ``flex.cu:4107-4117``).
 
-The ELL layout itself is built **on device** by a single scatter from the
-resident CSR (`DeviceCSR`): the host computes only per-row metadata
-(bucket id, chunk base) — O(m) uploads, never O(nnz) — because the
-host→device path moves only ~35 MB/s (docs/measurements.md).
+The ELL layout is built **on device** from the resident CSR (`DeviceCSR`)
+with batched contiguous dynamic-slices (each chunk's nnz are contiguous in
+CSR order); the host computes only O(m)+O(chunks) metadata shipped in a
+single packed upload — the host→device path moves only ~35 MB/s with a
+~0.5 s per-transfer floor (docs/measurements.md).
 """
 from __future__ import annotations
 
@@ -26,44 +27,54 @@ import numpy as np
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
 
-DEFAULT_WIDTHS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+# Width ladder measured on reddit-scale R-MAT (pow2 ladder pad=1.51 →
+# 501 ms; this ~1.2× ladder pad=1.17 → 232 ms): padding rows are gathered
+# like real ones, so bucket granularity is a first-order knob.
+DEFAULT_WIDTHS = (
+    2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768,
+    896, 1024, 1280, 1536, 1792, 2048,
+)
 
 
-@functools.partial(jax.jit, static_argnames=("layout",))
-def _build_arena(dev_row_ptr, dev_col, dev_vals, width_of_row, chunk_base,
-                 *, layout):
-    """Scatter the CSR nnz stream into the flat ELL arena on device.
+@functools.partial(jax.jit, static_argnames=("bucket_meta", "total"))
+def _build_buckets(col_pad, val_pad, meta_dev, *, bucket_meta, total):
+    """Build every width bucket's [N, w] arrays on device in one program.
 
-    layout: (nnz, arena_len, bucket_offsets_by_width) — static ints only.
-    width_of_row: int32[m] bucket width per row (wmax for split rows).
-    chunk_base: int32[m] first chunk index (bucket-global arena chunk id
-      premultiplied by nothing — it's the global chunk number; arena slot =
-      arena_chunk_start[row's bucket] handled on host via chunk_base).
+    Each chunk's nnz are *contiguous* in CSR order, so the build is a batched
+    w-wide dynamic_slice per bucket (a contiguous-run gather — far faster on
+    TPU than an element-scatter) plus a length mask.  One jit for all widths
+    keeps remote-compile count (and tPre) down.
+
+    meta_dev layout: [starts..., lengths..., chunk_rows...], bucket-major.
+    bucket_meta: static tuple of (w, N).
     """
-    nnz, arena_len = layout
-    e = jnp.arange(nnz, dtype=jnp.int32)
-    rows = (
-        jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
-    )
-    pos = e - dev_row_ptr[rows]
-    w = width_of_row[rows]
-    slot = pos % w
-    chunk_local = pos // w
-    # chunk_base[row] already encodes the arena position of the row's first
-    # chunk in *elements* (host precomputed): arena_pos = base + local*w + slot
-    arena_pos = chunk_base[rows] + chunk_local * w + slot
-    cols_a = jnp.zeros((arena_len,), jnp.int32).at[arena_pos].set(dev_col)
-    vals_a = jnp.zeros((arena_len,), jnp.float32).at[arena_pos].set(dev_vals)
-    return cols_a, vals_a
+    buckets = []
+    off = 0
+    for w, N in bucket_meta:
+        starts = jax.lax.dynamic_slice(meta_dev, (off,), (N,))
+        lengths = jax.lax.dynamic_slice(meta_dev, (total + off,), (N,))
+        sl_c = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(col_pad, (s,), (w,))
+        )(starts)
+        sl_v = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(val_pad, (s,), (w,))
+        )(starts)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (N, w), 1) < lengths[:, None]
+        )
+        buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
+        off += N
+    return tuple(buckets)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "views", "max_gather_rows", "out_rows", "b_dtype"),
+    static_argnames=("m", "max_gather_rows", "out_rows", "b_dtype"),
 )
-def _ell_spmm(cols_a, vals_a, chunk_row, B, *, m, views, max_gather_rows,
-              out_rows, b_dtype="float32"):
-    """views: tuple of (arena_offset, N, w) per bucket — static.
+def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
+              b_dtype="float32"):
+    """buckets: tuple of (cols [N,w] i32, vals [N,w] f32), one per width.
     chunk_row: int32[total_chunks] output row per chunk (bucket-major order).
     b_dtype: gather-source dtype. "bfloat16" is the fast inference mode —
       bf16 row gathers run ~3x faster on this hardware
@@ -74,9 +85,8 @@ def _ell_spmm(cols_a, vals_a, chunk_row, B, *, m, views, max_gather_rows,
     if b_dtype != "float32":
         B = B.astype(b_dtype)
     parts = []
-    for off, N, w in views:
-        cols = jax.lax.dynamic_slice(cols_a, (off,), (N * w,)).reshape(N, w)
-        vals = jax.lax.dynamic_slice(vals_a, (off,), (N * w,)).reshape(N, w)
+    for cols, vals in buckets:
+        N, w = cols.shape
         step = max(1, max_gather_rows // w)
         for s in range(0, N, step):
             c = cols[s : s + step]
@@ -92,10 +102,8 @@ def _ell_spmm(cols_a, vals_a, chunk_row, B, *, m, views, max_gather_rows,
 @dataclasses.dataclass
 class EllPlan:
     m: int
-    cols_a: Any
-    vals_a: Any
+    buckets: Any          # tuple of (cols[N,w], vals[N,w]) device arrays
     chunk_row: Any
-    views: tuple
     padded_nnz: int
     nnz: int
     max_gather_rows: int = 2 * 1024 * 1024
@@ -103,10 +111,14 @@ class EllPlan:
 
     def __call__(self, B) -> jax.Array:
         return _ell_spmm(
-            self.cols_a, self.vals_a, self.chunk_row, B, m=self.m,
-            views=self.views, max_gather_rows=self.max_gather_rows,
+            self.buckets, self.chunk_row, B, m=self.m,
+            max_gather_rows=self.max_gather_rows,
             out_rows=self.m, b_dtype=self.b_dtype,
         )
+
+    @property
+    def views(self) -> tuple:
+        return tuple((0, c.shape[0], c.shape[1]) for c, _ in self.buckets)
 
     @property
     def stats(self) -> dict:
@@ -124,7 +136,8 @@ def prepare_ell(
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     b_dtype: str = "float32",
 ) -> EllPlan:
-    """Host: O(m) metadata.  Device: one scatter builds the ELL arena."""
+    """Host: O(m)+O(chunks) metadata, one packed upload.
+    Device: batched contiguous slices build the buckets."""
     if dev is None:
         dev = DeviceCSR.from_graph(g)
     deg = g.degrees.astype(np.int64)
@@ -135,44 +148,58 @@ def prepare_ell(
     # bucket width per row; split rows live in the widest bucket
     wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
                            len(w_arr) - 1)]
-    wor = np.where(deg > wmax, wmax, wor).astype(np.int32)
-    n_chunks = np.where(deg > 0, -(-deg // wor.astype(np.int64)), 0)
+    wor = np.where(deg > wmax, wmax, wor).astype(np.int64)
+    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
 
-    # bucket-major arena layout: all chunks of bucket w are contiguous
-    order = np.argsort(wor, kind="stable")  # rows grouped by width
-    views = []
-    chunk_base = np.zeros(m, dtype=np.int64)
-    chunk_row_parts = []
-    off = 0
+    # bucket-major chunk layout
+    starts_parts, len_parts, row_parts, bucket_meta = [], [], [], []
+    padded = 0
     for w in widths:
-        sel = order[wor[order] == w]
+        sel = np.where((wor == w) & (n_chunks > 0))[0]
         if not len(sel):
             continue
         ch = n_chunks[sel]
-        N = int(ch.sum())
-        if N == 0:
-            continue
-        starts = off + np.concatenate([[0], np.cumsum(ch[:-1])]) * w
-        chunk_base[sel] = starts
-        chunk_row_parts.append(np.repeat(sel, ch).astype(np.int32))
-        views.append((int(off), N, int(w)))
-        off += N * w
-    arena_len = int(off)
-    chunk_row = (
-        np.concatenate(chunk_row_parts)
-        if chunk_row_parts else np.zeros((0,), np.int32)
+        rows_rep = np.repeat(sel, ch)
+        cum0 = np.concatenate([[0], np.cumsum(ch)[:-1]])
+        local = np.arange(int(ch.sum()), dtype=np.int64) - np.repeat(cum0, ch)
+        starts = g.row_ptr[rows_rep] + local * w
+        lengths = np.minimum(deg[rows_rep] - local * w, w)
+        starts_parts.append(starts.astype(np.int32))
+        len_parts.append(lengths.astype(np.int32))
+        row_parts.append(rows_rep.astype(np.int32))
+        bucket_meta.append((int(w), len(rows_rep)))
+        padded += len(rows_rep) * w
+
+    if not bucket_meta:  # empty graph
+        return EllPlan(
+            m=m, buckets=(), chunk_row=jnp.zeros((0,), jnp.int32),
+            padded_nnz=0, nnz=g.nnz, b_dtype=b_dtype,
+        )
+
+    # single packed upload: [starts..., lengths..., chunk_rows...]
+    all_starts = np.concatenate(starts_parts)
+    all_lens = np.concatenate(len_parts)
+    all_rows = np.concatenate(row_parts)
+    total = len(all_starts)
+    meta_dev = jnp.asarray(np.concatenate([all_starts, all_lens, all_rows]))
+
+    # pad the CSR arrays once so w-wide slices never run out of bounds
+    col_pad = jnp.concatenate(
+        [dev.col, jnp.zeros((wmax,), jnp.int32)]
+    )
+    val_pad = jnp.concatenate(
+        [dev.vals, jnp.zeros((wmax,), jnp.float32)]
     )
 
-    cols_a, vals_a = _build_arena(
-        dev.row_ptr, dev.col, dev.vals,
-        jnp.asarray(wor), jnp.asarray(chunk_base.astype(np.int32)),
-        layout=(g.nnz, arena_len),
+    buckets = _build_buckets(
+        col_pad, val_pad, meta_dev,
+        bucket_meta=tuple(bucket_meta), total=total,
     )
+    chunk_row = meta_dev[2 * total :]
+
     return EllPlan(
-        m=m, cols_a=cols_a, vals_a=vals_a,
-        chunk_row=jnp.asarray(chunk_row),
-        views=tuple(views), padded_nnz=arena_len, nnz=g.nnz,
-        b_dtype=b_dtype,
+        m=m, buckets=tuple(buckets), chunk_row=chunk_row,
+        padded_nnz=padded, nnz=g.nnz, b_dtype=b_dtype,
     )
 
 

@@ -1,20 +1,19 @@
 """Row-sharded SpMM across a device mesh (BASELINE.json config 5).
 
 Design (SURVEY.md §5.8): A is split into contiguous row shards balanced by
-nnz; each device holds its shard in the ELL-arena format and computes its
-C rows locally against a replicated B — no inter-chip reduction is needed
-because row ownership is exclusive by construction (the multi-chip
-re-statement of the reference's "no atomics when a row is wholly owned"
-rule, ``mat.cu:816-825``).  B is replicated here; an all-gather variant
-only pays when B stops fitting per-chip.
+nnz; each device holds its shard in the width-bucketed ELL format and
+computes its C rows locally against a replicated B — no inter-chip
+reduction is needed because row ownership is exclusive by construction
+(the multi-chip re-statement of the reference's "no atomics when a row is
+wholly owned" rule, ``mat.cu:816-825``).  B is replicated here; an
+all-gather variant only pays when B stops fitting per-chip.
 
-Every shard shares one static program (same bucket views / arena length,
-padded to the max over shards), as `shard_map` requires.
+Every shard shares one static program (same bucket shapes, padded to the
+max over shards), as `shard_map` requires.
 """
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax
@@ -24,6 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flex_tpu.ops.ell_spmm import DEFAULT_WIDTHS, _ell_spmm
 from flex_tpu.sparse.csr import CSRGraph
+
+# Coarser default ladder than single-chip: every bucket exists on every
+# shard (shapes are maxed across shards), so too many buckets inflate
+# cross-shard padding.
+SHARDED_WIDTHS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _split_rows_by_nnz(g: CSRGraph, n_shards: int) -> list[tuple[int, int]]:
@@ -42,44 +46,45 @@ class ShardedEllPlan:
     m: int
     row_bounds: list[tuple[int, int]]
     m_shard_pad: int
-    views: tuple          # common across shards
-    cols_a: Any           # [D, arena_len] sharded on axis 0
-    vals_a: Any           # [D, arena_len]
-    chunk_row: Any        # [D, n_chunks_pad]
+    buckets: Any          # tuple of (cols [D,N,w], vals [D,N,w]) sharded dim 0
+    chunk_row: Any        # [D, n_chunks_pad] sharded dim 0
     nnz: int
     padded_nnz: int
     fn: Any = None
 
     def __call__(self, B) -> jax.Array:
         if self.fn is None:
-            views = self.views
             m_pad = self.m_shard_pad
             ax = self.axis
 
-            def local(cols_a, vals_a, chunk_row, B):
+            def local(buckets, chunk_row, B):
+                local_buckets = tuple((c[0], v[0]) for c, v in buckets)
                 return _ell_spmm(
-                    cols_a[0], vals_a[0], chunk_row[0], B,
-                    m=m_pad, views=views, max_gather_rows=2 * 1024 * 1024,
+                    local_buckets, chunk_row[0], B,
+                    m=m_pad, max_gather_rows=2 * 1024 * 1024,
                     out_rows=m_pad,
                 )[None]
 
+            bucket_specs = tuple(
+                (P(ax, None, None), P(ax, None, None)) for _ in self.buckets
+            )
             mapped = jax.shard_map(
                 local, mesh=self.mesh,
-                in_specs=(P(ax, None), P(ax, None), P(ax, None), P(None, None)),
+                in_specs=(bucket_specs, P(ax, None), P(None, None)),
                 out_specs=P(ax, None, None),
             )
             bounds = self.row_bounds
 
             @jax.jit
-            def fn(cols_a, vals_a, chunk_row, B):
-                out = mapped(cols_a, vals_a, chunk_row, B)  # [D, m_pad, k]
+            def fn(buckets, chunk_row, B):
+                out = mapped(buckets, chunk_row, B)  # [D, m_pad, k]
                 return jnp.concatenate(
                     [out[d, : r1 - r0] for d, (r0, r1) in enumerate(bounds)],
                     axis=0,
                 )
 
             self.fn = fn
-        return self.fn(self.cols_a, self.vals_a, self.chunk_row, B)
+        return self.fn(self.buckets, self.chunk_row, B)
 
     @property
     def stats(self) -> dict:
@@ -87,91 +92,85 @@ class ShardedEllPlan:
             "n_shards": len(self.row_bounds),
             "padded_nnz": self.padded_nnz,
             "pad_ratio": self.padded_nnz / max(self.nnz, 1),
-            "views": self.views,
+            "bucket_shapes": [c.shape for c, _ in self.buckets],
         }
-
-
-def _shard_metadata(g: CSRGraph, r0: int, r1: int, widths):
-    """Per-shard ELL metadata (host, O(rows))."""
-    deg = g.degrees[r0:r1].astype(np.int64)
-    wmax = widths[-1]
-    w_arr = np.asarray(widths, dtype=np.int64)
-    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
-                           len(w_arr) - 1)]
-    wor = np.where(deg > wmax, wmax, wor).astype(np.int64)
-    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
-    return deg, wor, n_chunks
 
 
 def prepare_ell_sharded(
     g: CSRGraph,
     mesh: Mesh,
     axis: str | None = None,
-    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    widths: tuple[int, ...] = SHARDED_WIDTHS,
 ) -> ShardedEllPlan:
     axis = axis or mesh.axis_names[0]
     D = mesh.shape[axis]
     bounds = _split_rows_by_nnz(g, D)
+    wmax = widths[-1]
+    w_arr = np.asarray(widths, dtype=np.int64)
 
-    # Pass 1: common layout — per-width chunk counts maxed over shards.
-    metas = [_shard_metadata(g, r0, r1, widths) for r0, r1 in bounds]
-    n_by_w = {w: 0 for w in widths}
+    # Pass 1: per-shard chunk metadata; common bucket sizes = max over shards.
+    metas = []
+    for r0, r1 in bounds:
+        deg = g.degrees[r0:r1].astype(np.int64)
+        wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
+                               len(w_arr) - 1)]
+        wor = np.where(deg > wmax, wmax, wor)
+        n_chunks = np.where(deg > 0, -(-deg // wor), 0)
+        metas.append((deg, wor, n_chunks))
+    n_by_w = {}
     for deg, wor, n_chunks in metas:
         for w in widths:
-            n_by_w[w] = max(n_by_w[w], int(n_chunks[wor == w].sum()))
-    views = []
-    off = 0
-    for w in widths:
-        if n_by_w[w] == 0:
-            continue
-        views.append((int(off), int(n_by_w[w]), int(w)))
-        off += n_by_w[w] * w
-    arena_len = int(off)
-    n_chunks_pad = sum(N for _, N, _ in views)
-    m_shard_pad = max(r1 - r0 for r0, r1 in bounds)
+            n_by_w[w] = max(n_by_w.get(w, 0), int(n_chunks[wor == w].sum()))
+    live_widths = [w for w in widths if n_by_w[w] > 0]
 
-    # Pass 2: fill per-shard arenas (host; rows are shard-local ids).
-    cols_a = np.zeros((D, arena_len), dtype=np.int32)
-    vals_a = np.zeros((D, arena_len), dtype=np.float32)
-    # padded chunks write zero values into row 0 — harmless by construction
-    chunk_row = np.zeros((D, n_chunks_pad), dtype=np.int32)
+    # Pass 2: fill per-shard buckets on host (common shapes).
+    buckets_np = {
+        w: (np.zeros((D, n_by_w[w], w), np.int32),
+            np.zeros((D, n_by_w[w], w), np.float32))
+        for w in live_widths
+    }
+    n_chunks_pad = sum(n_by_w[w] for w in live_widths)
+    chunk_row = np.zeros((D, n_chunks_pad), np.int32)
+    padded = 0
     for d, ((r0, r1), (deg, wor, n_chunks)) in enumerate(zip(bounds, metas)):
-        rows_local = np.arange(r1 - r0, dtype=np.int64)
-        order = np.argsort(wor, kind="stable")
-        chunk_base = np.zeros(r1 - r0, dtype=np.int64)
         cpos = 0
-        for off_w, N, w in views:
-            sel = order[wor[order] == w]
-            ch = n_chunks[sel]
+        for w in live_widths:
+            sel = np.where((wor == w) & (n_chunks > 0))[0]
+            cols_b, vals_b = buckets_np[w]
             if len(sel):
-                starts = off_w + np.concatenate([[0], np.cumsum(ch[:-1])]) * w
-                chunk_base[sel] = starts
-                n_here = int(ch.sum())
-                chunk_row[d, cpos : cpos + n_here] = np.repeat(
-                    rows_local[sel], ch
-                ).astype(np.int32)
-            else:
-                n_here = 0
-            cpos += N  # common layout: bucket slots fixed even if underfull
-        # scatter this shard's nnz
-        e0, e1 = int(g.row_ptr[r0]), int(g.row_ptr[r1])
-        rows_e = (
-            np.repeat(rows_local, deg)
-        )
-        pos = np.arange(e1 - e0, dtype=np.int64) - (
-            g.row_ptr[r0 + rows_e] - e0
-        )
-        w_e = wor[rows_e]
-        arena_pos = chunk_base[rows_e] + (pos // w_e) * w_e + pos % w_e
-        cols_a[d, arena_pos] = g.col[e0:e1]
-        vals_a[d, arena_pos] = g.vals[e0:e1]
+                ch = n_chunks[sel]
+                rows_rep = np.repeat(sel, ch)
+                cum0 = np.concatenate([[0], np.cumsum(ch)[:-1]])
+                local = (
+                    np.arange(int(ch.sum()), dtype=np.int64)
+                    - np.repeat(cum0, ch)
+                )
+                starts = g.row_ptr[r0 + rows_rep] + local * w
+                lengths = np.minimum(deg[rows_rep] - local * w, w)
+                # vectorised ragged copy: chunk i slots [0, len_i) <- CSR run
+                tot = int(lengths.sum())
+                chunk_ids = np.repeat(np.arange(len(rows_rep)), lengths)
+                within = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(lengths) - lengths, lengths
+                )
+                src = np.repeat(starts, lengths) + within
+                dst = chunk_ids * w + within
+                cols_b[d].reshape(-1)[dst] = g.col[src]
+                vals_b[d].reshape(-1)[dst] = g.vals[src]
+                chunk_row[d, cpos : cpos + len(rows_rep)] = rows_rep
+            cpos += n_by_w[w]
+        padded += sum(n_by_w[w] * w for w in live_widths)
 
-    sharding = NamedSharding(mesh, P(axis, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    buckets = tuple(
+        (jax.device_put(c, sh3), jax.device_put(v, sh3))
+        for c, v in (buckets_np[w] for w in live_widths)
+    )
     return ShardedEllPlan(
         mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
-        m_shard_pad=m_shard_pad, views=tuple(views),
-        cols_a=jax.device_put(cols_a, sharding),
-        vals_a=jax.device_put(vals_a, sharding),
-        chunk_row=jax.device_put(chunk_row, sharding),
-        nnz=g.nnz, padded_nnz=D * arena_len,
+        m_shard_pad=max(r1 - r0 for r0, r1 in bounds),
+        buckets=buckets,
+        chunk_row=jax.device_put(chunk_row, sh2),
+        nnz=g.nnz, padded_nnz=padded,
     )
