@@ -25,6 +25,16 @@ def pick_association(m: int, nnz: int, d: int, c: int) -> str:
     return "axw" if flops_axw <= flops_ax_w else "ax_w"
 
 
+def _dense_precision():
+    # TPU's default single-pass bf16 matmul breaks the cross-check between
+    # the two association orders (~1e-3 rel err); match the SpMM side.
+    return (
+        jax.lax.Precision.DEFAULT
+        if jax.default_backend() == "cpu"
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def gcn_layer(
     plan,
     X,
@@ -33,6 +43,7 @@ def gcn_layer(
     activation: Callable | None = jax.nn.relu,
     association: str = "auto",
     nnz: int | None = None,
+    precision=None,
 ):
     """One GCN layer using a prepared SpMM plan for A.
 
@@ -43,13 +54,18 @@ def gcn_layer(
       nnz: required for 'auto' (plans know their m via X, not nnz).
     """
     d, c = W.shape
+    if precision is None:
+        precision = _dense_precision()
     if association == "auto":
         assert nnz is not None, "association='auto' needs nnz"
         association = pick_association(X.shape[0], nnz, d, c)
+    dot = lambda a, b_: jax.lax.dot(
+        a, b_, precision=precision, preferred_element_type=jnp.float32
+    )
     if association == "axw":
-        H = plan(jnp.asarray(X @ W))
+        H = plan(dot(jnp.asarray(X), W))
     elif association == "ax_w":
-        H = plan(jnp.asarray(X)) @ W
+        H = dot(plan(jnp.asarray(X)), W)
     else:
         raise ValueError(association)
     if b is not None:
