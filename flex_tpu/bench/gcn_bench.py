@@ -51,8 +51,11 @@ def bench_gcn_layer(
     rng = np.random.default_rng(seed + 1)
     W = jnp.asarray(rng.standard_normal((d, c)).astype(np.float32) * 0.1)
 
-    f_axw = jax.jit(lambda X, W: gcn_layer(plan, X, W, association="axw"))
-    f_ax_w = jax.jit(lambda X, W: gcn_layer(plan, X, W, association="ax_w"))
+    # plan passed as a jit argument (plans are pytrees) — not a closure
+    f_axw_ = jax.jit(lambda pl_, X, W: gcn_layer(pl_, X, W, association="axw"))
+    f_ax_w_ = jax.jit(lambda pl_, X, W: gcn_layer(pl_, X, W, association="ax_w"))
+    f_axw = lambda X, W: f_axw_(plan, X, W)
+    f_ax_w = lambda X, W: f_ax_w_(plan, X, W)
     t_axw = _time_device(f_axw, X, W, iters=iters)
     t_ax_w = _time_device(f_ax_w, X, W, iters=iters)
 

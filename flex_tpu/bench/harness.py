@@ -158,10 +158,6 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.panel_spmm import prepare_panel
 
         return prepare_panel
-    if method == "bsr":
-        from flex_tpu.ops.pallas_bsr import prepare_bsr
-
-        return prepare_bsr
     raise ValueError(f"unknown method {method!r}")
 
 

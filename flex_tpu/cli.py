@@ -39,16 +39,13 @@ def main(argv=None) -> int:
         f"zero-deg={s.n_nodes_zero_deg} unit-rows={s.n_unit_rows} "
         f"directed={s.is_directed}"
     )
-    print(f"  degree histogram [1,2) [2,4) [4,8) [8,16) [16,inf): "
+    print(f"  degree histogram [0,2) [2,4) [4,8) [8,16) [16,inf): "
           f"{g.degree_histogram().tolist()}")
-
-    if cfg.order != "ovo":
-        print(f"applying ordering: {cfg.order}")
-        g = reorder(g, cfg.order, check=False)
 
     if cfg.method == "sweep":
         # the reference's run(): ordering × method sweep with one report
-        # table (flex.cu:4560-5716)
+        # table (flex.cu:4560-5716); orderings are applied by the sweep
+        # itself, on the original graph.
         from flex_tpu.bench.harness import sweep
 
         results = sweep(
@@ -59,16 +56,28 @@ def main(argv=None) -> int:
         bad = [r for r in results if r.check is not None and not r.check.ok]
         return 1 if bad else 0
 
+    if cfg.order != "ovo":
+        print(f"applying ordering: {cfg.order}")
+        g = reorder(g, cfg.order, check=False)
+
     method = cfg.method
     if method == "auto":
         sug = suggest(g, cfg.k, tm=cfg.tm)
         method = sug.method
         print(f"auto-selected method: {method} ({sug.reason})")
 
-    r = bench_spmm(
-        g, cfg.k, method=method, iters=cfg.iters, check=cfg.check,
-        **cfg.prep_kwargs(method),
-    )
+    try:
+        r = bench_spmm(
+            g, cfg.k, method=method, iters=cfg.iters, check=cfg.check,
+            **cfg.prep_kwargs(method),
+        )
+    except (ValueError, NotImplementedError) as e:
+        if cfg.method != "auto" or method == "ell":
+            raise
+        print(f"{method} refused ({e}); falling back to ell")
+        method = "ell"
+        r = bench_spmm(g, cfg.k, method="ell", iters=cfg.iters,
+                       check=cfg.check, **cfg.prep_kwargs("ell"))
     print(_fmt(r))
     if cfg.csv:
         write_csv([r], cfg.csv)

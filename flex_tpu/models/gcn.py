@@ -60,15 +60,22 @@ def gcn_loss(model: GCN, params, plan, X, y, mask) -> jax.Array:
 
 
 def make_train_step(model: GCN, plan, optimizer) -> Callable:
-    """Returns jitted (params, opt_state, X, y, mask) -> (params, opt_state, loss)."""
+    """Returns jitted (params, opt_state, X, y, mask) -> (params, opt_state, loss).
+
+    The plan is passed into jit as a pytree *argument* (plans register as
+    pytrees), never closed over — closures would bake its device arrays
+    into the executable as constants."""
 
     @jax.jit
-    def step(params, opt_state, X, y, mask):
+    def _step(params, opt_state, plan, X, y, mask):
         loss, grads = jax.value_and_grad(
             lambda p: gcn_loss(model, p, plan, X, y, mask)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, X, y, mask):
+        return _step(params, opt_state, plan, X, y, mask)
 
     return step

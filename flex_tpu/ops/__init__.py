@@ -6,8 +6,9 @@ autotuner that picks per matrix (SURVEY.md §7 step 4):
 
 - ``"ref"``        — SciPy host reference (golden).
 - ``"xla"``        — XLA take + segment-sum (always-correct device baseline).
-- ``"bsr"``        — Pallas block-sparse-row kernel on the MXU.
-- ``"panel"``      — Pallas row-panel kernel with gathered B rows.
+- ``"ell"``        — width-bucketed row chunks (robust default).
+- ``"panel"``      — hub row-split + dense-A MXU panels (high B-reuse).
+- ``"band"``       — dense column-window MXU path (banded/RCM matrices).
 """
 from __future__ import annotations
 
@@ -21,10 +22,6 @@ def spmm(g, B, method: str = "xla", **kwargs):
         return _ref.spmm_scipy(g, B)
     if method == "xla":
         return _xla.spmm_xla(g, B, **kwargs)
-    if method == "bsr":
-        from flex_tpu.ops import pallas_bsr as _bsr
-
-        return _bsr.spmm_bsr(g, B, **kwargs)
     if method == "ell":
         from flex_tpu.ops import ell_spmm as _ell
 

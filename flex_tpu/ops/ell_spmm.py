@@ -82,6 +82,8 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
       f32 either way.
     """
     k = B.shape[1]
+    if not buckets:  # zero-nnz graph
+        return jnp.zeros((m, k), jnp.float32)
     if b_dtype != "float32":
         B = B.astype(b_dtype)
     parts = []
@@ -115,6 +117,22 @@ class EllPlan:
             max_gather_rows=self.max_gather_rows,
             out_rows=self.m, b_dtype=self.b_dtype,
         )
+
+    # Registered as a pytree (see bottom of file) so jitted callers can take
+    # the plan as an *argument* — closing over it would bake the bucket
+    # arrays into the executable as constants.
+    def tree_flatten(self):
+        children = (self.buckets, self.chunk_row)
+        aux = (self.m, self.padded_nnz, self.nnz, self.max_gather_rows,
+               self.b_dtype)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m, padded_nnz, nnz, mgr, b_dtype = aux
+        return cls(m=m, buckets=children[0], chunk_row=children[1],
+                   padded_nnz=padded_nnz, nnz=nnz, max_gather_rows=mgr,
+                   b_dtype=b_dtype)
 
     @property
     def views(self) -> tuple:
@@ -205,3 +223,8 @@ def prepare_ell(
 
 def spmm_ell(g: CSRGraph, B, **kwargs):
     return prepare_ell(g, **kwargs)(jnp.asarray(B))
+
+
+jax.tree_util.register_pytree_node(
+    EllPlan, EllPlan.tree_flatten, EllPlan.tree_unflatten
+)

@@ -42,13 +42,15 @@ def _round_up(x: int, mult: int) -> int:
 @functools.partial(jax.jit, static_argnames=("layout",))
 def _build_band(dev_row_ptr, dev_col, dev_vals, ws_rows, *, layout):
     """Scatter CSR nnz into the dense band [P, TM, W] on device.
-    ws_rows: int32[m] window start of each row's panel (element units)."""
+    ws_rows: int32[m] window start of each row's panel (element units).
+    .add (not .set) so duplicate (row, col) entries sum like every other
+    kernel / the scipy gold."""
     nnz, P, TM, W = layout
     e = jnp.arange(nnz, dtype=jnp.int32)
     rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
     c_loc = dev_col - ws_rows[rows]
     flat = (rows // TM) * (TM * W) + (rows % TM) * W + c_loc
-    band = jnp.zeros((P * TM * W,), jnp.float32).at[flat].set(dev_vals)
+    band = jnp.zeros((P * TM * W,), jnp.float32).at[flat].add(dev_vals)
     return band.reshape(P, TM, W)
 
 
@@ -200,3 +202,18 @@ def prepare_band(
 
 def spmm_band(g: CSRGraph, B, **kwargs):
     return prepare_band(g, **kwargs)(jnp.asarray(B))
+
+
+def _band_flatten(p: BandPlan):
+    return (p.band, p.ws128), (p.m, p.n, p.tm, p.w_pad, p.interpret, p.impl,
+                               p.precision)
+
+
+def _band_unflatten(aux, children):
+    m, n, tm, w_pad, interpret, impl, precision = aux
+    return BandPlan(m=m, n=n, tm=tm, w_pad=w_pad, band=children[0],
+                    ws128=children[1], interpret=interpret, impl=impl,
+                    precision=precision)
+
+
+jax.tree_util.register_pytree_node(BandPlan, _band_flatten, _band_unflatten)

@@ -101,7 +101,14 @@ def _panel_spmm(data, B, *, m: int, n_hub_rows: int, precision):
     else:
         C_hub = jnp.zeros((0, k), jnp.float32)
 
-    # hub rows are exactly rows [0, n_hub_rows) (hub-prefix requirement)
+    # hub rows are exactly rows [0, n_hub_rows); tail panels tile the rest.
+    # Pad with zero rows when the tail has no nnz (trailing zero-degree
+    # rows) so the output is always (m, k).
+    covered = n_hub_rows + C_tail.shape[0]
+    if covered < m:
+        C_tail = jnp.concatenate(
+            [C_tail, jnp.zeros((m - covered, k), jnp.float32)], axis=0
+        )
     return jnp.concatenate([C_hub, C_tail], axis=0)[:m]
 
 
@@ -250,3 +257,18 @@ def prepare_panel(
 def spmm_panel(g: CSRGraph, B, **kwargs):
     plan = prepare_panel(g, **kwargs)
     return plan(jnp.asarray(B))
+
+
+def _panel_flatten(p: PanelPlan):
+    return (p.data,), (p.m, p.tm, p.n_hub_rows, p.n_panels, p.precision,
+                       p.gathered_rows)
+
+
+def _panel_unflatten(aux, children):
+    m, tm, n_hub_rows, n_panels, precision, gathered = aux
+    return PanelPlan(m=m, tm=tm, n_hub_rows=n_hub_rows, n_panels=n_panels,
+                     precision=precision, data=children[0],
+                     gathered_rows=gathered)
+
+
+jax.tree_util.register_pytree_node(PanelPlan, _panel_flatten, _panel_unflatten)

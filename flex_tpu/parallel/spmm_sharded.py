@@ -96,6 +96,27 @@ class ShardedEllPlan:
         }
 
 
+def _sharded_flatten(p: ShardedEllPlan):
+    children = (p.buckets, p.chunk_row)
+    aux = (p.mesh, p.axis, p.m, tuple(p.row_bounds), p.m_shard_pad, p.nnz,
+           p.padded_nnz)
+    return children, aux
+
+
+def _sharded_unflatten(aux, children):
+    mesh, axis, m, bounds, m_pad, nnz, padded = aux
+    return ShardedEllPlan(
+        mesh=mesh, axis=axis, m=m, row_bounds=list(bounds),
+        m_shard_pad=m_pad, buckets=children[0], chunk_row=children[1],
+        nnz=nnz, padded_nnz=padded,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    ShardedEllPlan, _sharded_flatten, _sharded_unflatten
+)
+
+
 def prepare_ell_sharded(
     g: CSRGraph,
     mesh: Mesh,

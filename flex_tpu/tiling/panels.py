@@ -110,10 +110,9 @@ class PanelFormat:
         diff = got - want
         # Zero-valued stored entries can't be distinguished from padding; the
         # reconstruction must still match exactly as a matrix.
-        assert abs(diff).max() if diff.nnz else 0 == 0, "panel reconstruction mismatch"
-        assert int(self.e_len.sum()) == np.count_nonzero(g.vals) + (
-            g.nnz - np.count_nonzero(g.vals)
-        )
+        max_diff = abs(diff).max() if diff.nnz else 0
+        assert max_diff == 0, f"panel reconstruction mismatch (max {max_diff})"
+        assert int(self.e_len.sum()) == g.nnz
 
 
 def build_panels(
