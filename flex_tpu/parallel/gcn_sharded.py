@@ -1,0 +1,72 @@
+"""2D-sharded GCN training: rows (data-parallel) × features (model-parallel).
+
+Composes the framework's two parallelism axes over one mesh
+(SURVEY.md §5.8, BASELINE config 5):
+
+- axis "x": the adjacency's row shards (ShardedEllPlan, shard_map) — the
+  SpMM analog of data parallelism; C comes out row-sharded.
+- axis "y": dense GCN weights column-sharded (tensor parallelism for the
+  X·W GEMMs); XLA/GSPMD inserts the all-gathers/reduce-scatters from
+  sharding constraints.
+
+Gradients flow through both (shard_map is differentiable; replicated
+leaves get psum'd automatically).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flex_tpu.models.gcn import GCN, gcn_loss
+
+
+def shard_params_2d(params: dict, mesh: Mesh, model_axis: str = "y") -> dict:
+    """Column-shard the weight matrices over the model axis; biases and
+    everything else replicated."""
+    out = {}
+    for name, p in params.items():
+        if name.startswith("W"):
+            out[name] = jax.device_put(
+                p, NamedSharding(mesh, P(None, model_axis))
+            )
+        else:
+            out[name] = jax.device_put(p, NamedSharding(mesh, P(model_axis)))
+    return out
+
+
+def make_train_step_2d(
+    model: GCN, plan, optimizer, mesh: Mesh, model_axis: str = "y"
+) -> Callable:
+    """Like models.gcn.make_train_step, but pins the weight shardings so the
+    dense GEMMs run tensor-parallel over ``model_axis`` while the SpMM runs
+    row-parallel inside the plan's shard_map."""
+
+    def constrain(params):
+        return {
+            name: (
+                jax.lax.with_sharding_constraint(
+                    p, NamedSharding(mesh, P(None, model_axis))
+                )
+                if name.startswith("W")
+                else p
+            )
+            for name, p in params.items()
+        }
+
+    @jax.jit
+    def _step(params, opt_state, plan, X, y, mask):
+        def loss_fn(p):
+            return gcn_loss(model, constrain(p), plan, X, y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state, X, y, mask):
+        return _step(params, opt_state, plan, X, y, mask)
+
+    return step
