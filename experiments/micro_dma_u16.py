@@ -121,10 +121,20 @@ def u16x2():
     try:
         dt = _time_device(spmm_u16, cols, v, B_hi, B_lo, iters=10)
         p(f"u16x2 exact take+reduce 30M: {dt*1e3:.1f} ms")
-        # verify exactness on a slice
-        got = np.asarray(spmm_u16(cols[:256], v[:256], B_hi, B_lo))
-        Bg = np.asarray(B)[np.asarray(cols[:256]).reshape(-1)].reshape(256, w, k)
-        want = (np.asarray(v[:256])[:, :, None] * Bg).sum(axis=1)
+        # verify exactness on a slice with a dedicated small function
+        # (spmm_u16 itself bakes NN into its loop bounds)
+        @jax.jit
+        def u16_small(c, bh, bl):
+            gh = jnp.take(bh, c, axis=0)
+            gl = jnp.take(bl, c, axis=0)
+            return jax.lax.bitcast_convert_type(
+                (gh.astype(jnp.uint32) << 16) | gl.astype(jnp.uint32),
+                jnp.float32,
+            )
+
+        ids = cols[:2].reshape(-1)
+        got = np.asarray(u16_small(ids, B_hi, B_lo))
+        want = np.asarray(B)[np.asarray(ids)]
         p(f"u16x2 exact? max abs diff = {np.abs(got - want).max():.3e}")
     except Exception as e:
         p(f"u16x2 FAILED: {type(e).__name__}: {str(e)[:300]}")

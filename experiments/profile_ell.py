@@ -36,18 +36,17 @@ if __name__ == "__main__":
 
     # stage 1: all takes only (sum to keep output small)
     @jax.jit
-    def takes_only(cols_a, Bx):
+    def takes_only(buckets, Bx):
         acc = jnp.zeros((8, 128), jnp.float32)
-        for off, N, w in plan.views:
-            cols = jax.lax.dynamic_slice(cols_a, (off,), (N * w,))
+        for cols, _vals in buckets:
+            N, w = cols.shape
             step = max(1, plan.max_gather_rows // w)
             for s in range(0, N, step):
-                c = jax.lax.dynamic_slice(cols, (s * w,), (min(step, N - s) * w,))
-                Bg = jnp.take(Bx, c, axis=0)
+                Bg = jnp.take(Bx, cols[s:s + step].reshape(-1), axis=0)
                 acc = acc + Bg[:8]
         return acc
 
-    dt = _time_device(takes_only, plan.cols_a, B, iters=10)
+    dt = _time_device(takes_only, plan.buckets, B, iters=10)
     p(f"takes only: {dt*1e3:.1f} ms")
 
     # stage 2: reduce only, on pre-materialized uniform blocks (~same bytes)

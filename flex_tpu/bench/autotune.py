@@ -22,7 +22,9 @@ class Suggestion:
     prep_kwargs: dict
 
 
-def suggest(g: CSRGraph, k: int = 128, tm: int = 128) -> Suggestion:
+def suggest(
+    g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512
+) -> Suggestion:
     """Static heuristic from format statistics (no device needed).
 
     Decision model (docs/measurements.md):
@@ -40,35 +42,28 @@ def suggest(g: CSRGraph, k: int = 128, tm: int = 128) -> Suggestion:
     st = tile_stats(g, bm=tm)
     # band: all panels' columns inside a narrow window -> contiguous MXU path
     # (the big winner when it applies: 334 GF/s vs 12 for gather-based).
-    # Must use the same worst-case window model as prepare_band — one
-    # wide-span row blows the whole format up, p99 isn't enough.
+    # Uses prepare_band's own worst-case window model so eligibility and the
+    # actual format build can't drift.
+    from flex_tpu.ops.pallas_band import panel_window_stats
+
     band_tm = max(tm, 256)
-    rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
-    panel = rows // band_tm
-    P = max(-(-g.m // band_tm), 1)
-    lo = np.full(P, np.iinfo(np.int64).max)
-    hi = np.full(P, -1)
-    cols = g.col.astype(np.int64)
-    np.minimum.at(lo, panel, cols)
-    np.maximum.at(hi, panel, cols)
-    lo[hi < 0], hi[hi < 0] = 0, 0
-    w_max = max(int((hi - (lo // 128) * 128).max()) + 1, 128)
-    w_max = -(-w_max // 128) * 128
-    band_density = g.nnz / (P * band_tm * w_max)
-    if band_density >= 0.02 and P * band_tm * w_max * 4 < (4 << 30):
+    _, w_pad, band_density, band_bytes = panel_window_stats(g, band_tm)
+    if band_density >= 0.02 and band_bytes < (4 << 30):
         return Suggestion(
             "band",
-            f"window={w_max} density={band_density:.3f}: contiguous MXU path",
+            f"window={w_pad} density={band_density:.3f}: contiguous MXU path",
             {"tm": band_tm},
         )
     reuse = g.nnz / max(st.unique_cols_per_panel_avg * st.n_row_panels, 1)
     deg = g.degrees
-    hub_prefix_ok = bool((np.diff((deg >= 512).astype(np.int8)) <= 0).all())
+    hub_prefix_ok = bool(
+        (np.diff((deg >= hub_threshold).astype(np.int8)) <= 0).all()
+    )
     if reuse >= 2.0 and hub_prefix_ok:
         return Suggestion(
             "panel",
             f"panel B-reuse {reuse:.2f} ≥ 2 at tm={tm}",
-            {"tm": tm},
+            {"tm": tm, "hub_threshold": hub_threshold},
         )
     return Suggestion("ell", f"panel B-reuse {reuse:.2f} < 2: gather-bound", {})
 

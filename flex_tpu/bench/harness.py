@@ -168,6 +168,7 @@ def sweep(
     methods: tuple[str, ...] = ("xla",),
     csv_path: str | None = None,
     check: bool = True,
+    iters: int = 10,
 ) -> list[BenchResult]:
     """Ordering × k × method sweep, like the reference's run() over
     4 orderings × 4 tile shapes."""
@@ -179,7 +180,8 @@ def sweep(
         for k in ks:
             for method in methods:
                 try:
-                    r = bench_spmm(g_ord, k, method=method, check=check)
+                    r = bench_spmm(g_ord, k, method=method, check=check,
+                                   iters=iters)
                 except Exception as e:  # record failures, keep sweeping
                     r = BenchResult(
                         graph=g.name, order=order, method=method, k=k, m=g.m,

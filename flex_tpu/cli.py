@@ -51,7 +51,7 @@ def main(argv=None) -> int:
         results = sweep(
             g, ks=(cfg.k,), orders=("ovo", "deg", "rcm", "rabbit"),
             methods=("xla", "ell", "panel"), csv_path=cfg.csv,
-            check=cfg.check,
+            check=cfg.check, iters=cfg.iters,
         )
         bad = [r for r in results if r.check is not None and not r.check.ok]
         return 1 if bad else 0
@@ -62,14 +62,18 @@ def main(argv=None) -> int:
 
     method = cfg.method
     if method == "auto":
-        sug = suggest(g, cfg.k, tm=cfg.tm)
+        sug = suggest(g, cfg.k, tm=cfg.tm, hub_threshold=cfg.hub_threshold)
         method = sug.method
+        # the autotuner's validated parameters take precedence over defaults
+        prep_kwargs = {**cfg.prep_kwargs(method), **sug.prep_kwargs}
         print(f"auto-selected method: {method} ({sug.reason})")
+    else:
+        prep_kwargs = cfg.prep_kwargs(method)
 
     try:
         r = bench_spmm(
             g, cfg.k, method=method, iters=cfg.iters, check=cfg.check,
-            **cfg.prep_kwargs(method),
+            **prep_kwargs,
         )
     except (ValueError, NotImplementedError) as e:
         if cfg.method != "auto" or method == "ell":

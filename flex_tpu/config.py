@@ -19,8 +19,9 @@ class FlexConfig:
     order: str = "deg"
     k: int = 128
 
-    # ell params
-    widths: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    # ell params; None = use ops.ell_spmm.DEFAULT_WIDTHS (the measured-fast
+    # fine ladder) — kept in one place so the CLI can't drift from it
+    widths: tuple[int, ...] | None = None
     b_dtype: str = "float32"          # "bfloat16" = fast inference mode
 
     # panel params
@@ -35,7 +36,10 @@ class FlexConfig:
 
     def prep_kwargs(self, method: str) -> dict:
         if method == "ell":
-            return {"widths": self.widths, "b_dtype": self.b_dtype}
+            kw = {"b_dtype": self.b_dtype}
+            if self.widths is not None:
+                kw["widths"] = self.widths
+            return kw
         if method == "panel":
             return {
                 "tm": self.tm,
@@ -60,7 +64,7 @@ class FlexConfig:
                     val = val.lower() not in ("0", "false", "no") if val else True
                 elif isinstance(cur, int):
                     val = int(val)
-                elif isinstance(cur, tuple):
+                elif isinstance(cur, tuple) or key == "widths":
                     val = tuple(int(x) for x in val.split(","))
                 elif cur is None or isinstance(cur, str):
                     val = val or None

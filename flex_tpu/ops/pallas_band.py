@@ -150,6 +150,33 @@ class BandPlan:
         }
 
 
+def panel_window_stats(g: CSRGraph, tm: int):
+    """Per-panel column-window model shared by prepare_band and the
+    autotuner (so eligibility and the actual format can't drift).
+
+    Returns (ws int64[P] aligned window starts, w_pad, density, band_bytes).
+    O(P) memory via reduceat over the contiguous CSR panel segments.
+    """
+    m = g.m
+    P = max(-(-m // tm), 1)
+    seg_starts = g.row_ptr[np.minimum(np.arange(P) * tm, m)].astype(np.int64)
+    nnz_per = np.diff(np.append(seg_starts, g.nnz))
+    if g.nnz:
+        red_idx = np.minimum(seg_starts, g.nnz - 1)
+        lo = np.minimum.reduceat(g.col, red_idx).astype(np.int64)
+        hi = np.maximum.reduceat(g.col, red_idx).astype(np.int64)
+    else:
+        lo = np.zeros(P, np.int64)
+        hi = np.zeros(P, np.int64)
+    lo[nnz_per == 0] = 0
+    hi[nnz_per == 0] = 0
+    ws = (lo // 128) * 128
+    w_pad = max(_round_up(int((hi - ws).max()) + 1, 128), 128)
+    band_bytes = P * tm * w_pad * 4
+    density = g.nnz / max(P * tm * w_pad, 1)
+    return ws, w_pad, density, band_bytes
+
+
 def prepare_band(
     g: CSRGraph,
     dev: DeviceCSR | None = None,
@@ -167,20 +194,7 @@ def prepare_band(
     m = g.m
     P = max(-(-m // tm), 1)
 
-    rows = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
-    panel = rows // tm
-    cols = g.col.astype(np.int64)
-    lo = np.full(P, np.iinfo(np.int64).max)
-    hi = np.full(P, -1)
-    np.minimum.at(lo, panel, cols)
-    np.maximum.at(hi, panel, cols)
-    empty = hi < 0
-    lo[empty], hi[empty] = 0, 0
-    ws = (lo // 128) * 128
-    w_pad = _round_up(int((hi - ws).max()) + 1, 128)
-
-    band_bytes = P * tm * w_pad * 4
-    density = g.nnz / max(P * tm * w_pad, 1)
+    ws, w_pad, density, band_bytes = panel_window_stats(g, tm)
     if band_bytes > max_band_bytes or density < min_density:
         raise ValueError(
             f"matrix not band-friendly: window={w_pad} density={density:.4f} "

@@ -32,8 +32,8 @@ def shard_params_2d(params: dict, mesh: Mesh, model_axis: str = "y") -> dict:
             out[name] = jax.device_put(
                 p, NamedSharding(mesh, P(None, model_axis))
             )
-        else:
-            out[name] = jax.device_put(p, NamedSharding(mesh, P(model_axis)))
+        else:  # biases replicated (odd lengths like pubmed's c=3 can't shard)
+            out[name] = jax.device_put(p, NamedSharding(mesh, P()))
     return out
 
 

@@ -18,6 +18,10 @@ def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """old→new map from a new→old map (asserts a bijection,
     reference ``DataLoader.cu:251-258``)."""
     n = len(perm)
+    # explicit range check: numpy fancy indexing would silently wrap
+    # negative entries, making a corrupt permutation look bijective
+    if n and (int(perm.min()) < 0 or int(perm.max()) >= n):
+        raise ValueError("perm entries out of range [0, n)")
     inv = np.full(n, -1, dtype=np.int64)
     inv[perm] = np.arange(n, dtype=np.int64)
     if (inv < 0).any():
