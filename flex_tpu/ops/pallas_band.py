@@ -2,22 +2,27 @@
 
 After RCM, matrices from meshes/PDEs (the SuiteSparse class the reference's
 ``data/SuiteSparse`` pipeline targets) have all nonzeros of any row panel
-inside a narrow column window.  This kernel exploits that with *contiguous*
-B blocks — no gather at all, the one access pattern where a hand-written
-TPU kernel beats XLA's gather machinery (docs/measurements.md: per-row DMA
-is 25× slower than `take`, but sequential block DMA runs at stream rate):
+inside a narrow column window.  The kernels here exploit that with
+*contiguous* B blocks — no gather at all.
 
-  grid (panel p, window-chunk j):
-    C[p] += A_band[p, :, j·128:(j+1)·128] @ B[ws[p]+j block]   (MXU)
+Implementations (fastest first; measured on a 262K-row / 16.8M-nnz band,
+k=128, docs/measurements.md):
 
-with the per-panel window start ``ws`` scalar-prefetched into the B
-index_map — Pallas pipelines the A/B block DMAs automatically, and the
-output block is revisited across j so it accumulates in VMEM.
+- ``impl="pallas2"`` (default): one grid step per row panel; the panel's
+  128-aligned window [s, s+W) always lies inside [W·i, W·i + 2W) for
+  i = s // W, so the band is split at format time into a left half (cols
+  in [W·i, W·(i+1))) and a right half, and each step runs exactly two MXU
+  dots against two W-aligned, scalar-prefetch-indexed B blocks.  Pallas
+  pipelines all block DMAs.  **7.3 ms = 585 GF/s eff** — 1.8× faster than
+  XLA's best formulation.
+- ``impl="xla"``: contiguous-window `jnp.take` + batched einsum (13.1 ms).
+- ``impl="pallas"``: the naive v1 grid (P × window-chunks) with output
+  revisiting — kept for the record; 33× slower than pallas2 (430 ms).
 
-The dense band array is built **on device** by one scatter from the
-resident CSR.  Only viable when the window is narrow: density =
-nnz / (m · W) must clear ``min_density`` or prepare_band refuses
-(the autotuner checks ``tile_stats.col_span_p99`` first).
+Band arrays are built **on device** by one scatter from the resident CSR.
+Only viable when the window is narrow: density = nnz / (m·W) must clear
+``min_density`` or prepare_band refuses (the autotuner checks the same
+model via ``panel_window_stats``).
 """
 from __future__ import annotations
 
@@ -41,8 +46,7 @@ def _round_up(x: int, mult: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("layout",))
 def _build_band(dev_row_ptr, dev_col, dev_vals, ws_rows, *, layout):
-    """Scatter CSR nnz into the dense band [P, TM, W] on device.
-    ws_rows: int32[m] window start of each row's panel (element units).
+    """Dense band [P, TM, W] (for impl="xla"/"pallas").
     .add (not .set) so duplicate (row, col) entries sum like every other
     kernel / the scipy gold."""
     nnz, P, TM, W = layout
@@ -54,7 +58,46 @@ def _build_band(dev_row_ptr, dev_col, dev_vals, ws_rows, *, layout):
     return band.reshape(P, TM, W)
 
 
-def _band_kernel(ws_ref, a_ref, b_ref, o_ref):
+@functools.partial(jax.jit, static_argnames=("layout",))
+def _build_split_band(dev_row_ptr, dev_col, dev_vals, iW_rows, *, layout):
+    """A_left/A_right [P, TM, W] for impl="pallas2": nnz at col c of panel p
+    goes left if c < W·(i_p+1) at offset c − W·i_p, else right at
+    c − W·(i_p+1)."""
+    nnz, P, TM, W = layout
+    e = jnp.arange(nnz, dtype=jnp.int32)
+    rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
+    c_loc = dev_col - iW_rows[rows] * W
+    is_left = c_loc < W
+    flat_panel = (rows // TM) * (TM * W) + (rows % TM) * W
+    pos_l = flat_panel + jnp.where(is_left, c_loc, 0)
+    pos_r = flat_panel + jnp.where(is_left, 0, c_loc - W)
+    left = jnp.zeros((P * TM * W,), jnp.float32).at[pos_l].add(
+        jnp.where(is_left, dev_vals, 0.0))
+    right = jnp.zeros((P * TM * W,), jnp.float32).at[pos_r].add(
+        jnp.where(is_left, 0.0, dev_vals))
+    return left.reshape(P, TM, W), right.reshape(P, TM, W)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "n", "w_pad", "precision")
+)
+def _band_spmm_xla(band, ws128, B, *, m, n, w_pad, precision):
+    """Window-band SpMM in plain XLA: contiguous-window take + batched
+    einsum."""
+    P, TM, W = band.shape
+    k = B.shape[1]
+    n_pad = _round_up(n, 128) + w_pad
+    Bp = jnp.zeros((n_pad, k), jnp.float32).at[:n].set(B)
+    idx = ws128[:, None] * 128 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    Bw = jnp.take(Bp, idx.reshape(-1), axis=0).reshape(P, W, k)
+    out = jnp.einsum(
+        "ptw,pwk->ptk", band, Bw, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(P * TM, k)[:m]
+
+
+def _band_kernel_v1(ws_ref, a_ref, b_ref, o_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -69,24 +112,49 @@ def _band_kernel(ws_ref, a_ref, b_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "n", "w_pad", "precision")
+    jax.jit, static_argnames=("m", "n", "precision", "interpret")
 )
-def _band_spmm_xla(band, ws128, B, *, m, n, w_pad, precision):
-    """Window-band SpMM in plain XLA: contiguous-window take + batched
-    einsum.  Measured 33× faster than the handwritten Pallas grid on this
-    stack (12.9 ms vs 430 ms on a 16.8M-nnz band; docs/measurements.md) —
-    contiguous `take` + MXU einsum is already optimal here."""
-    P, TM, W = band.shape
+def _band_spmm_pallas2(a_left, a_right, iW, B, *, m, n, precision, interpret):
+    P, TM, W = a_left.shape
     k = B.shape[1]
-    n_pad = _round_up(n, 128) + w_pad
-    Bp = jnp.zeros((n_pad, k), jnp.float32).at[:n].set(B)
-    idx = ws128[:, None] * 128 + jnp.arange(W, dtype=jnp.int32)[None, :]
-    Bw = jnp.take(Bp, idx.reshape(-1), axis=0).reshape(P, W, k)
-    out = jnp.einsum(
-        "ptw,pwk->ptk", band, Bw, precision=precision,
-        preferred_element_type=jnp.float32,
+    n_pad = (-(-n // W) + 2) * W
+    B_pad = jnp.zeros((n_pad, k), jnp.float32).at[:n].set(B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, TM, W), lambda p_, iw: (p_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, W), lambda p_, iw: (p_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, k), lambda p_, iw: (iw[p_], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, k), lambda p_, iw: (iw[p_] + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, k), lambda p_, iw: (p_, 0),
+                               memory_space=pltpu.VMEM),
     )
-    return out.reshape(P * TM, k)[:m]
+    out = pl.pallas_call(
+        _make_kernel_v2(precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P * TM, k), jnp.float32),
+        interpret=interpret,
+    )(iW, a_left, a_right, B_pad, B_pad)  # B twice: one per block spec
+    return out[:m]
+
+
+def _make_kernel_v2(precision):
+    def kernel(iW_ref, al_ref, ar_ref, b1_ref, b2_ref, o_ref):
+        o_ref[:] = jax.lax.dot(
+            al_ref[0], b1_ref[:], precision=precision,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot(
+            ar_ref[0], b2_ref[:], precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
 
 
 @dataclasses.dataclass
@@ -95,25 +163,35 @@ class BandPlan:
     n: int
     tm: int
     w_pad: int           # window width (multiple of 128)
-    band: Any            # f32 [P, TM, W]
-    ws128: Any           # int32 [P] window starts in 128-row block units
+    band: Any            # impl xla/pallas: f32 [P, TM, W]; pallas2: (L, R)
+    ws: Any              # impl xla/pallas: ws128 [P]; pallas2: iW [P]
     interpret: bool
-    impl: str = "xla"    # "xla" (fast) | "pallas" (reference implementation)
+    impl: str = "pallas2"
     precision: Any = jax.lax.Precision.HIGHEST
 
     def __call__(self, B) -> jax.Array:
         if self.impl == "xla":
             return _band_spmm_xla(
-                self.band, self.ws128, B, m=self.m, n=self.n,
+                self.band, self.ws, B, m=self.m, n=self.n,
                 w_pad=self.w_pad, precision=self.precision,
             )
+        if self.impl == "pallas2":
+            return self._call_pallas2(B)
+        return self._call_pallas_v1(B)
+
+    def _call_pallas2(self, B) -> jax.Array:
+        a_left, a_right = self.band
+        return _band_spmm_pallas2(
+            a_left, a_right, self.ws, B, m=self.m, n=self.n,
+            precision=self.precision, interpret=self.interpret,
+        )
+
+    def _call_pallas_v1(self, B) -> jax.Array:
         P = self.band.shape[0]
         J = self.w_pad // 128
         k = B.shape[1]
-        # pad B so any window stays in bounds
         n_pad = _round_up(self.n, 128) + self.w_pad
         B_pad = jnp.zeros((n_pad, k), B.dtype).at[: self.n].set(B)
-
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(P, J),
@@ -133,20 +211,23 @@ class BandPlan:
             ),
         )
         out = pl.pallas_call(
-            _band_kernel,
+            _band_kernel_v1,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((P * self.tm, k), jnp.float32),
             interpret=self.interpret,
-        )(self.ws128, self.band, B_pad)
+        )(self.ws, self.band, B_pad)
         return out[: self.m]
 
     @property
     def stats(self) -> dict:
-        P = self.band.shape[0]
+        shape = (self.band[0].shape if isinstance(self.band, tuple)
+                 else self.band.shape)
+        mult = 2 if isinstance(self.band, tuple) else 1
         return {
-            "n_panels": P,
+            "n_panels": shape[0],
             "w_pad": self.w_pad,
-            "band_bytes": P * self.tm * self.w_pad * 4,
+            "band_bytes": mult * int(np.prod(shape)) * 4,
+            "impl": self.impl,
         }
 
 
@@ -184,7 +265,7 @@ def prepare_band(
     min_density: float = 0.02,
     max_band_bytes: int = 4 << 30,
     interpret: bool | None = None,
-    impl: str = "xla",
+    impl: str = "pallas2",
 ) -> BandPlan:
     """Refuses (ValueError) when the matrix isn't band-friendly."""
     if dev is None:
@@ -202,14 +283,24 @@ def prepare_band(
             f"(or apply RCM ordering first)"
         )
 
-    ws_rows = ws[np.minimum(np.arange(m) // tm, P - 1)].astype(np.int32)
-    band = _build_band(
-        dev.row_ptr, dev.col, dev.vals, jnp.asarray(ws_rows),
-        layout=(g.nnz, P, tm, w_pad),
-    )
+    row_panel = np.minimum(np.arange(m) // tm, P - 1)
+    if impl == "pallas2":
+        iW = (ws // w_pad).astype(np.int32)
+        iW_rows = jnp.asarray(iW[row_panel].astype(np.int32))
+        band = _build_split_band(
+            dev.row_ptr, dev.col, dev.vals, iW_rows,
+            layout=(g.nnz, P, tm, w_pad),
+        )
+        ws_arg = jnp.asarray(iW)
+    else:
+        ws_rows = ws[row_panel].astype(np.int32)
+        band = _build_band(
+            dev.row_ptr, dev.col, dev.vals, jnp.asarray(ws_rows),
+            layout=(g.nnz, P, tm, w_pad),
+        )
+        ws_arg = jnp.asarray((ws // 128).astype(np.int32))
     return BandPlan(
-        m=m, n=g.n, tm=tm, w_pad=w_pad, band=band,
-        ws128=jnp.asarray((ws // 128).astype(np.int32)),
+        m=m, n=g.n, tm=tm, w_pad=w_pad, band=band, ws=ws_arg,
         interpret=interpret, impl=impl,
     )
 
@@ -219,14 +310,14 @@ def spmm_band(g: CSRGraph, B, **kwargs):
 
 
 def _band_flatten(p: BandPlan):
-    return (p.band, p.ws128), (p.m, p.n, p.tm, p.w_pad, p.interpret, p.impl,
-                               p.precision)
+    return (p.band, p.ws), (p.m, p.n, p.tm, p.w_pad, p.interpret, p.impl,
+                            p.precision)
 
 
 def _band_unflatten(aux, children):
     m, n, tm, w_pad, interpret, impl, precision = aux
     return BandPlan(m=m, n=n, tm=tm, w_pad=w_pad, band=children[0],
-                    ws128=children[1], interpret=interpret, impl=impl,
+                    ws=children[1], interpret=interpret, impl=impl,
                     precision=precision)
 
 

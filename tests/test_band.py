@@ -10,7 +10,7 @@ from flex_tpu.ops.ref import spmm_scipy
 from flex_tpu.utils.check import res_check
 
 
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("impl", ["pallas2", "xla", "pallas"])
 def test_band_matches_scipy(impl):
     g = banded_graph(1024, 96, 12.0, seed=4)
     B = make_features(g, 32)
