@@ -26,13 +26,14 @@ from flex_tpu.models.gcn import GCN, gcn_loss
 def shard_params_2d(params: dict, mesh: Mesh, model_axis: str = "y") -> dict:
     """Column-shard the weight matrices over the model axis; biases and
     everything else replicated."""
+    y = mesh.shape[model_axis]
     out = {}
     for name, p in params.items():
-        if name.startswith("W"):
+        if name.startswith("W") and p.shape[-1] % y == 0:
             out[name] = jax.device_put(
                 p, NamedSharding(mesh, P(None, model_axis))
             )
-        else:  # biases replicated (odd lengths like pubmed's c=3 can't shard)
+        else:  # replicate biases and non-divisible widths (e.g. pubmed c=3)
             out[name] = jax.device_put(p, NamedSharding(mesh, P()))
     return out
 
@@ -44,13 +45,15 @@ def make_train_step_2d(
     dense GEMMs run tensor-parallel over ``model_axis`` while the SpMM runs
     row-parallel inside the plan's shard_map."""
 
+    y = mesh.shape[model_axis]
+
     def constrain(params):
         return {
             name: (
                 jax.lax.with_sharding_constraint(
                     p, NamedSharding(mesh, P(None, model_axis))
                 )
-                if name.startswith("W")
+                if name.startswith("W") and p.shape[-1] % y == 0
                 else p
             )
             for name, p in params.items()
