@@ -89,7 +89,7 @@ def _band_spmm_xla(band, ws128, B, *, m, n, w_pad, precision):
     n_pad = _round_up(n, 128) + w_pad
     Bp = jnp.zeros((n_pad, k), jnp.float32).at[:n].set(B)
     idx = ws128[:, None] * 128 + jnp.arange(W, dtype=jnp.int32)[None, :]
-    Bw = jnp.take(Bp, idx.reshape(-1), axis=0).reshape(P, W, k)
+    Bw = Bp[idx]  # 2D-index gather (docs/measurements.md)
     out = jnp.einsum(
         "ptw,pwk->ptk", band, Bw, precision=precision,
         preferred_element_type=jnp.float32,

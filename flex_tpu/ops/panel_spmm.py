@@ -58,9 +58,7 @@ def _panel_spmm(data, B, *, m: int, n_hub_rows: int, precision):
         for s in range(0, P, step):
             uc = ucols[s : s + step]
             ad = a_dense[s : s + step]
-            Bp = jnp.take(B, uc.reshape(-1), axis=0).reshape(
-                uc.shape[0], u_pad, k
-            )
+            Bp = B[uc]  # 2D-index gather (docs/measurements.md)
             sub.append(
                 jnp.einsum(
                     "ptu,puk->ptk", ad, Bp, precision=precision,
@@ -86,7 +84,7 @@ def _panel_spmm(data, B, *, m: int, n_hub_rows: int, precision):
         parts = []
         for s in range(0, Nh, step):
             hc = hub_cols[s : s + step]
-            Bh = jnp.take(B, hc.reshape(-1), axis=0).reshape(*hc.shape, k)
+            Bh = B[hc]  # 2D-index gather
             parts.append(
                 jnp.einsum(
                     "nw,nwk->nk", hub_vals[s : s + step], Bh,
