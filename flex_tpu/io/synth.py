@@ -48,8 +48,12 @@ def rmat_graph(
     p_abc = a + b + c
     for _ in range(scale):
         r = rng.random(n_samples)
-        right = (r >= p_ab) & (r < p_abc) | (r >= p_abc)
-        down = (r >= a) & (r < p_ab) | (r >= p_abc)
+        # Standard R-MAT quadrants: a=[0,a) top-left, b=[a,a+b) top-right
+        # (sets the COLUMN bit), c=[a+b,a+b+c) bottom-left (sets the ROW
+        # bit), d=rest bottom-right (sets both).  Round 1 had b/c swapped
+        # (invisible at the b==c defaults; round-1 advisor, low).
+        right = ((r >= a) & (r < p_ab)) | (r >= p_abc)
+        down = r >= p_ab
         rows = rows * 2 + down
         cols = cols * 2 + right
 

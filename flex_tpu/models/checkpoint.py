@@ -23,8 +23,18 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
     )
 
 
-def restore_checkpoint(path: str) -> dict:
+def restore_checkpoint(path: str, target: Any = None) -> dict:
+    """Restore a checkpoint written by :func:`save_checkpoint`.
+
+    Pass ``target`` — a pytree of the same structure with concrete or
+    abstract leaves, e.g. ``{"params": params0, "opt_state": opt.init(
+    params0), "step": 0}`` — so container *types* are reconstructed.
+    Without it, optax namedtuples come back as plain dicts and
+    ``optimizer.update`` fails on resume (round-1 advisor, medium).
+    """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), item=target)

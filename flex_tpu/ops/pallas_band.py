@@ -242,15 +242,18 @@ def panel_window_stats(g: CSRGraph, tm: int):
     P = max(-(-m // tm), 1)
     seg_starts = g.row_ptr[np.minimum(np.arange(P) * tm, m)].astype(np.int64)
     nnz_per = np.diff(np.append(seg_starts, g.nnz))
+    # reduceat only over NONEMPTY panels: their seg_starts are strictly
+    # increasing and < nnz, so each segment ends exactly at the next
+    # nonempty panel's start (empty panels in between contribute nothing).
+    # Clamping seg_starts to nnz-1 instead (the round-1 code) silently
+    # dropped the last nonzero from the final nonempty panel's window when
+    # trailing panels were empty — corrupting _build_band scatters.
+    lo = np.zeros(P, np.int64)
+    hi = np.zeros(P, np.int64)
+    nonempty = nnz_per > 0
     if g.nnz:
-        red_idx = np.minimum(seg_starts, g.nnz - 1)
-        lo = np.minimum.reduceat(g.col, red_idx).astype(np.int64)
-        hi = np.maximum.reduceat(g.col, red_idx).astype(np.int64)
-    else:
-        lo = np.zeros(P, np.int64)
-        hi = np.zeros(P, np.int64)
-    lo[nnz_per == 0] = 0
-    hi[nnz_per == 0] = 0
+        lo[nonempty] = np.minimum.reduceat(g.col, seg_starts[nonempty])
+        hi[nonempty] = np.maximum.reduceat(g.col, seg_starts[nonempty])
     ws = (lo // 128) * 128
     w_pad = max(_round_up(int((hi - ws).max()) + 1, 128), 128)
     band_bytes = P * tm * w_pad * 4

@@ -1,12 +1,16 @@
 """ctypes bindings + lazy build for the C++ reordering natives.
 
-Compiles ``_native/reorder.cc`` with g++ on first use (cached by source
-mtime); every entry point has a pure-Python fallback, so the framework works
-without a toolchain.
+Compiles ``_native/reorder.cc`` with g++ on first use.  The cache key is a
+content hash of the source embedded in the library filename, so a stale or
+foreign-ISA binary can never be picked up (round-1 advisor: a committed
+``-march=native`` .so could SIGILL on a different host — binaries are now
+gitignored, built with -mtune only, and keyed by source hash).  Every entry
+point has a pure-Python fallback, so the framework works without a toolchain.
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,17 +19,24 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "_native", "reorder.cc")
-_LIB = os.path.join(_DIR, "_native", "libflexreorder.so")
 
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
 
 
-def _build() -> None:
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, "_native", f"libflexreorder-{h}.so")
+
+
+def _build(lib_path: str) -> None:
+    # -mtune (not -march): tuned for this host but ISA-portable, so a stray
+    # binary copied between machines cannot SIGILL.
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        "g++", "-O3", "-mtune=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", lib_path,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
@@ -36,9 +47,10 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                _build()
-            lib = ctypes.CDLL(_LIB)
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                _build(lib_path)
+            lib = ctypes.CDLL(lib_path)
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             lib.flex_order_dfs.argtypes = [ctypes.c_int64, i64p, i32p, i64p]

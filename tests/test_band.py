@@ -40,3 +40,29 @@ def test_suggest_band():
     g = banded_graph(4096, 128, 32.0, seed=5)
     s = suggest(g)
     assert s.method == "band", s
+
+
+@pytest.mark.parametrize("impl", ["pallas2", "xla"])
+def test_band_trailing_empty_panels(impl):
+    """Regression (round-1 advisor, high): trailing empty panels made the
+    clamped reduceat drop the last nonzero from the final nonempty panel's
+    window, scattering it into another row's output with no error."""
+    from flex_tpu.sparse.csr import CSRGraph
+
+    m, tm = 768, 256
+    rng = np.random.default_rng(0)
+    # Rows 0..511 dense-ish near the diagonal; rows 512.. empty (zero-degree
+    # tail, as DEG ordering produces).  Last nonzero at (511, 400): outside
+    # the understated 128-wide window the buggy stats computed.
+    rows = np.repeat(np.arange(512), 4)
+    cols = rng.integers(0, 64, rows.shape)
+    rows = np.append(rows, 511)
+    cols = np.append(cols, 400)
+    vals = np.ones(len(rows), np.float32)
+    g = CSRGraph.from_coo(rows, cols, vals, m, name="trailing_empty")
+    B = make_features(g, 16)
+    plan = prepare_band(g, tm=tm, min_density=0.001, impl=impl)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{impl}: {chk}"
+    assert np.all(C[512:] == 0.0)

@@ -46,3 +46,27 @@ def test_checkpoint_roundtrip(tmp_path):
     got = restore_checkpoint(str(tmp_path / "ck"))
     assert got["step"] == 7
     np.testing.assert_array_equal(np.asarray(got["params"]["W"]), np.ones((4, 4)))
+
+
+def test_checkpoint_resume_optimizer(tmp_path):
+    """Regression (round-1 advisor, medium): restoring opt_state without a
+    target pytree loses optax namedtuple types and update() fails on resume."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from flex_tpu.models.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"W": jnp.ones((4, 4))}
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    grads = {"W": jnp.full((4, 4), 0.5)}
+    updates, state = opt.update(grads, state, params)
+    save_checkpoint(str(tmp_path / "ck"), params, opt_state=state, step=3)
+
+    target = {"params": params, "opt_state": opt.init(params), "step": 0}
+    got = restore_checkpoint(str(tmp_path / "ck"), target=target)
+    assert got["step"] == 3
+    # The restored opt_state must be directly usable by the optimizer.
+    updates2, _ = opt.update(grads, got["opt_state"], got["params"])
+    assert jax.tree_util.tree_structure(updates2) == jax.tree_util.tree_structure(grads)

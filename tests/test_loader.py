@@ -86,3 +86,14 @@ def test_from_coo_matches_scipy():
     np.testing.assert_array_equal(g.row_ptr, ref.indptr)
     np.testing.assert_array_equal(g.col, ref.indices)
     np.testing.assert_allclose(g.vals, ref.data)
+
+
+def test_rmat_quadrant_orientation():
+    """b (top-right) must drive the column bit: with b >> c the mass sits in
+    the upper triangle, i.e. col > row on average (round-1 advisor, low)."""
+    from flex_tpu.io.synth import rmat_graph
+
+    g = rmat_graph(4096, 60_000, a=0.45, b=0.40, c=0.05, seed=2)
+    rows = np.repeat(np.arange(g.m), np.diff(g.row_ptr))
+    upper_frac = float((g.col > rows).mean())
+    assert upper_frac > 0.6, upper_frac
