@@ -101,10 +101,130 @@ def banded_graph(
     return CSRGraph.from_coo(rows, cols, vals, m, name=name)
 
 
+def community_graph(
+    m: int,
+    nnz_target: int,
+    n_comm: int = 41,
+    intra_frac: float = 0.76,
+    deg_sigma: float = 1.3,
+    max_degree: int | None = None,
+    comm_zipf: float = 0.8,
+    seed: int = 0,
+    name: str = "community",
+    shuffle: bool = True,
+) -> CSRGraph:
+    """Degree-corrected planted-partition (SBM) generator.
+
+    Produces an *undirected* (symmetric) graph with self-loops, heavy-tailed
+    degrees, and ``n_comm`` communities of Zipf-distributed sizes where an
+    ``intra_frac`` fraction of edge endpoints stay inside the source node's
+    community (degree-weighted Chung-Lu endpoint selection both inside and
+    across communities).
+
+    Node ids are SHUFFLED when ``shuffle=True`` (the default): community
+    structure exists in the topology but not in the vertex numbering, so a
+    reordering pass (rabbit/gorder) must rediscover it — the same pipeline
+    the reference applies to real graphs (DataLoader.cu:324-857).
+
+    Calibration for the Reddit stand-in (see :func:`reddit_comm`):
+    - The reference's Reddit CSR has 23,446,803 nnz = 2 x 11,606,919
+      undirected edges + 232,965 self-loops — exactly the GraphSAINT/GNN
+      Reddit graph (232,965 nodes, 11.6M edges, avg degree ~99.6).
+    - n_comm=41: Reddit's 41 subreddit classes; community sizes are uneven
+      (Zipf exponent 0.8 — assumption, the exact class-size histogram is
+      not shipped with the reference).
+    - intra_frac=0.76: published edge-label homophily for Reddit is
+      ~0.75-0.78 in the GNN benchmark literature (assumption documented
+      here; not tuned against any kernel).
+    - deg_sigma=1.3 lognormal degree weights, clipped at max_degree
+      (Reddit max degree is ~21.6K at avg ~100).
+    """
+    rng = np.random.default_rng(seed)
+    # ---- communities: Zipf sizes, contiguous blocks pre-shuffle ----------
+    sizes = (np.arange(1, n_comm + 1, dtype=np.float64)) ** (-comm_zipf)
+    sizes = np.maximum((sizes / sizes.sum() * m).astype(np.int64), 1)
+    sizes[0] += m - sizes.sum()  # exact total
+    comm_of = np.repeat(np.arange(n_comm), sizes)  # node -> community
+    comm_start = np.concatenate([[0], np.cumsum(sizes)])
+
+    # ---- heavy-tailed Chung-Lu weights -----------------------------------
+    w = rng.lognormal(mean=0.0, sigma=deg_sigma, size=m)
+    if max_degree is None:
+        max_degree = max(int(nnz_target / m * 200), 64)
+    avg_und = max((nnz_target - m) // 2, 1) / m  # undirected edges per node
+    w *= avg_und / w.mean()
+    w = np.minimum(w, max_degree / 2)
+
+    # ---- sample undirected edges (u, v), u != v ---------------------------
+    E = max((nnz_target - m) // 2, 1)
+    cumw = np.cumsum(w)
+    total_w = cumw[-1]
+    comm_cumw = [np.cumsum(w[comm_start[c]:comm_start[c + 1]])
+                 for c in range(n_comm)]
+
+    def draw_global(size):
+        return np.searchsorted(cumw, rng.random(size) * total_w)
+
+    def sample_pairs(n_samp):
+        u = draw_global(n_samp)
+        v = np.empty(n_samp, dtype=np.int64)
+        intra = rng.random(n_samp) < intra_frac
+        v[~intra] = draw_global(int((~intra).sum()))
+        # intra endpoints: degree-weighted draw restricted to comm(u),
+        # grouped per community → one vectorised searchsorted per group.
+        cu = comm_of[u]
+        for c in range(n_comm):
+            sel = np.where(intra & (cu == c))[0]
+            if not len(sel):
+                continue
+            cw = comm_cumw[c]
+            v[sel] = comm_start[c] + np.searchsorted(
+                cw, rng.random(len(sel)) * cw[-1])
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return np.minimum(u, v) * m + np.maximum(u, v)
+
+    # Top-up loop: intra sampling collides inside small dense communities,
+    # so a fixed oversample undershoots — keep sampling until E unique pairs.
+    pair = np.unique(sample_pairs(int(E * 1.25) + 16))
+    for _ in range(8):
+        if len(pair) >= E:
+            break
+        extra = sample_pairs(int((E - len(pair)) * 2.5) + 16)
+        pair = np.unique(np.concatenate([pair, extra]))
+    if len(pair) > E:
+        sel = rng.choice(len(pair), E, replace=False)
+        sel.sort()
+        pair = pair[sel]
+    a, b = pair // m, pair % m
+
+    # ---- symmetrise (same value both directions) + unit self-loops -------
+    pv = (2.0 * rng.random(len(pair)) - 1.0).astype(np.float32)
+    rows = np.concatenate([a, b, np.arange(m)])
+    cols = np.concatenate([b, a, np.arange(m)])
+    vals = np.concatenate([pv, pv, np.ones(m, np.float32)])
+    if shuffle:
+        perm = rng.permutation(m)
+        rows, cols = perm[rows], perm[cols]
+    return CSRGraph.from_coo(rows, cols, vals, m, name=name)
+
+
 # (n, nnz) matched to README.md:13-20 dataset table.
 def reddit_like(seed: int = 0) -> CSRGraph:
     """Reddit-scale R-MAT stand-in: 232,965 rows, ~23.4M nnz."""
     return rmat_graph(232_965, 23_446_803, seed=seed, name="reddit_like")
+
+
+def reddit_comm(seed: int = 0) -> CSRGraph:
+    """Reddit stand-in with *community structure* (the R-MAT proxy lacks
+    it, and the reference's whole speedup story — reordering densifying
+    tiles — rides on it).  Calibration documented in
+    :func:`community_graph`; sizes match the reference CSR exactly
+    (232,965 nodes, 23,446,803 nnz incl. self-loops)."""
+    return community_graph(
+        232_965, 23_446_803, n_comm=41, intra_frac=0.76,
+        deg_sigma=1.3, max_degree=21_657, seed=seed, name="reddit_comm",
+    )
 
 
 def yelp_like(seed: int = 0) -> CSRGraph:

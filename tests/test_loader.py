@@ -97,3 +97,32 @@ def test_rmat_quadrant_orientation():
     rows = np.repeat(np.arange(g.m), np.diff(g.row_ptr))
     upper_frac = float((g.col > rows).mean())
     assert upper_frac > 0.6, upper_frac
+
+
+def test_community_graph():
+    """Planted-partition proxy: exact nnz, symmetric pattern+values,
+    measurable homophily near the target, shuffled ids hide the structure."""
+    from flex_tpu.io.synth import community_graph
+
+    m, nnz = 6000, 300_000
+    g = community_graph(m, nnz, n_comm=10, intra_frac=0.76, seed=3,
+                        shuffle=False)
+    assert g.nnz == nnz
+    sp = g.to_scipy()
+    assert abs(sp - sp.T).nnz == 0  # symmetric incl. values
+    assert np.all(sp.diagonal() == 1.0)  # self-loops
+    # homophily against the (unshuffled) contiguous community blocks
+    sizes = np.arange(1, 11.0) ** -0.8
+    sizes = np.maximum((sizes / sizes.sum() * m).astype(np.int64), 1)
+    sizes[0] += m - sizes.sum()
+    comm_of = np.repeat(np.arange(10), sizes)
+    rows = np.repeat(np.arange(m), np.diff(g.row_ptr))
+    intra = float((comm_of[rows] == comm_of[g.col]).mean())
+    assert 0.55 < intra < 0.95, intra
+
+    g2 = community_graph(m, nnz, n_comm=10, seed=3, shuffle=True)
+    assert g2.nnz == nnz
+    rows2 = np.repeat(np.arange(m), np.diff(g2.row_ptr))
+    # shuffled ids: contiguous-block homophily collapses to ~random
+    intra2 = float((comm_of[rows2] == comm_of[g2.col]).mean())
+    assert intra2 < intra - 0.2, (intra, intra2)
