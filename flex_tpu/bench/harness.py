@@ -106,7 +106,7 @@ def bench_spmm(
         prepare = _resolve_prepare(method)
 
     extra: dict[str, Any] = {}
-    if method in ("ell", "band") and "dev" not in prep_kwargs:
+    if method in ("ell", "band", "windowed") and "dev" not in prep_kwargs:
         # CSR upload is the loader's job (reference cuda_alloc_cpy), not
         # preprocessing; time it separately.
         from flex_tpu.sparse.device import DeviceCSR
@@ -167,6 +167,10 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.panel_spmm import prepare_panel
 
         return prepare_panel
+    if method == "windowed":
+        from flex_tpu.ops.window_spmm import prepare_windowed
+
+        return prepare_windowed
     raise ValueError(f"unknown method {method!r}")
 
 

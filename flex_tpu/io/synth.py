@@ -196,9 +196,13 @@ def community_graph(
         sel = rng.choice(len(pair), E, replace=False)
         sel.sort()
         pair = pair[sel]
-    a, b = pair // m, pair % m
+    return _sym_from_pairs(pair, m, rng, shuffle, name)
 
-    # ---- symmetrise (same value both directions) + unit self-loops -------
+
+def _sym_from_pairs(pair, m, rng, shuffle, name) -> CSRGraph:
+    """Unordered pair keys (a*m+b) → symmetric CSR with unit self-loops and
+    identical values in both directions."""
+    a, b = pair // m, pair % m
     pv = (2.0 * rng.random(len(pair)) - 1.0).astype(np.float32)
     rows = np.concatenate([a, b, np.arange(m)])
     cols = np.concatenate([b, a, np.arange(m)])
@@ -215,6 +219,112 @@ def reddit_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(232_965, 23_446_803, seed=seed, name="reddit_like")
 
 
+def bipartite_projection_graph(
+    m: int,
+    nnz_target: int,
+    n_comm: int = 41,
+    cross: float = 0.128,
+    act_mean: float = 6.0,
+    act_sigma: float = 0.9,
+    act_max: int = 256,
+    pop_sigma: float = 1.5,
+    comm_zipf: float = 0.8,
+    seed: int = 0,
+    name: str = "biproj",
+    shuffle: bool = True,
+) -> CSRGraph:
+    """Union-of-cliques graph from a bipartite user→post projection — the
+    documented generative process of the Reddit GNN dataset (GraphSAGE:
+    nodes are posts, linked when the same user comments on both, i.e. each
+    user induces a clique over the posts they touched).
+
+    This is the structure that makes dense-tile SpMM win on real Reddit:
+    cliques → triangle-dense neighborhoods → reordering can expose dense
+    blocks.  A flat SBM (``community_graph``) has ~zero clustering and
+    information-theoretically cannot produce dense tiles under ANY
+    permutation, so it understates every reordering-based kernel (ours and
+    the reference's alike).
+
+    Model: posts belong to ``n_comm`` Zipf-sized subreddits with lognormal
+    popularity weights; each user has a lognormal activity (number of posts
+    commented, clipped to [2, act_max]) and a home subreddit; every comment
+    lands in the home subreddit except with probability ``cross``
+    (cross-posting → inter-community edges; (1-cross)^2 ≈ target edge
+    homophily).  Users are added until the unique-pair count reaches the
+    undirected-edge target, then trimmed (<10% — slight clique erosion,
+    same as real co-comment dedup).
+
+    Node ids are shuffled by default; see :func:`reddit_posts` for the
+    calibrated Reddit stand-in.
+    """
+    rng = np.random.default_rng(seed)
+    sizes = (np.arange(1, n_comm + 1, dtype=np.float64)) ** (-comm_zipf)
+    sizes = np.maximum((sizes / sizes.sum() * m).astype(np.int64), 1)
+    sizes[0] += m - sizes.sum()
+    comm_start = np.concatenate([[0], np.cumsum(sizes)])
+
+    w = rng.lognormal(0.0, pop_sigma, m)  # post popularity
+    cumw_all = np.cumsum(w)
+    comm_cumw = [np.cumsum(w[comm_start[c]:comm_start[c + 1]])
+                 for c in range(n_comm)]
+    comm_w_tot = np.array([cw[-1] for cw in comm_cumw])
+    comm_p = comm_w_tot / comm_w_tot.sum()
+
+    E = max((nnz_target - m) // 2, 1)
+    # expected unique pairs per user ≈ E[a(a-1)]/2 pre-dedup; start below
+    # target and top up (clique overlap makes dedup loss graph-dependent).
+    mean_pairs = float(np.mean(
+        (a := np.clip(rng.lognormal(np.log(act_mean), act_sigma, 4096),
+                      2, act_max).astype(np.int64)) * (a - 1) / 2))
+    batch_users = max(int(E * 0.7 / mean_pairs), 64)
+
+    def user_batch(U):
+        a = np.clip(rng.lognormal(np.log(act_mean), act_sigma, U),
+                    2, act_max).astype(np.int64)
+        home = rng.choice(n_comm, U, p=comm_p)
+        T = int(a.sum())
+        user_of = np.repeat(np.arange(U), a)
+        is_cross = rng.random(T) < cross
+        draws = np.empty(T, np.int64)
+        n_cross = int(is_cross.sum())
+        draws[is_cross] = np.searchsorted(
+            cumw_all, rng.random(n_cross) * cumw_all[-1])
+        hc = home[user_of]
+        for c in range(n_comm):
+            sel = np.where(~is_cross & (hc == c))[0]
+            if not len(sel):
+                continue
+            cw = comm_cumw[c]
+            draws[sel] = comm_start[c] + np.searchsorted(
+                cw, rng.random(len(sel)) * cw[-1])
+        # expand each user's posts into clique pairs, grouped by activity so
+        # each group is one vectorised triu expansion
+        starts = np.concatenate([[0], np.cumsum(a)])
+        out = []
+        for av in np.unique(a):
+            us = np.where(a == av)[0]
+            mat = draws[starts[us][:, None] + np.arange(av)[None, :]]
+            iu, ju = np.triu_indices(av, 1)
+            p1, p2 = mat[:, iu].ravel(), mat[:, ju].ravel()
+            keep = p1 != p2
+            out.append(np.minimum(p1, p2)[keep] * m
+                       + np.maximum(p1, p2)[keep])
+        return np.concatenate(out)
+
+    pair = np.unique(user_batch(batch_users))
+    for _ in range(12):
+        if len(pair) >= E:
+            break
+        need = E - len(pair)
+        more = user_batch(max(int(batch_users * need / max(E, 1) * 1.3), 64))
+        pair = np.unique(np.concatenate([pair, more]))
+    if len(pair) > E:
+        sel = rng.choice(len(pair), E, replace=False)
+        sel.sort()
+        pair = pair[sel]
+    return _sym_from_pairs(pair, m, rng, shuffle, name)
+
+
 def reddit_comm(seed: int = 0) -> CSRGraph:
     """Reddit stand-in with *community structure* (the R-MAT proxy lacks
     it, and the reference's whole speedup story — reordering densifying
@@ -224,6 +334,26 @@ def reddit_comm(seed: int = 0) -> CSRGraph:
     return community_graph(
         232_965, 23_446_803, n_comm=41, intra_frac=0.76,
         deg_sigma=1.3, max_degree=21_657, seed=seed, name="reddit_comm",
+    )
+
+
+def reddit_posts(seed: int = 0) -> CSRGraph:
+    """Primary Reddit stand-in: bipartite user→post projection matching the
+    dataset's documented construction (GraphSAGE §: posts linked by shared
+    commenters).  Calibration:
+    - sizes exact: 232,965 nodes, 23,446,803 nnz (= 11,606,919 undirected
+      edges x2 + self-loops — the reference CSR's exact decomposition);
+    - 41 subreddit communities, Zipf sizes; (1-cross)^2 ≈ 0.76 edge
+      homophily (published Reddit label homophily ~0.75-0.78);
+    - measured avg local clustering ≈ 0.5-0.6 (union-of-cliques), the
+      signature of co-comment graphs, vs ~0 for the SBM/R-MAT proxies;
+    - lognormal post popularity: heavy-tail degrees (max ~20K at avg 100.6,
+      real max 21,657).
+    Not tuned against any kernel: parameters set by the stats above only."""
+    return bipartite_projection_graph(
+        232_965, 23_446_803, n_comm=41, cross=0.128,
+        act_mean=6.0, act_sigma=0.9, act_max=256, pop_sigma=1.5,
+        seed=seed, name="reddit_posts",
     )
 
 

@@ -32,6 +32,7 @@ ORDER_ABBR = {
     "dfs": "DFS",
     "gorder": "GOR",
     "rabbit": "RBT",
+    "rbdeg": "RBD",
 }
 
 
@@ -60,6 +61,19 @@ def compute_order(g: CSRGraph, method: str, **kwargs) -> np.ndarray:
         from flex_tpu.reorder.rabbit import order_rabbit
 
         return order_rabbit(g, **kwargs)
+    if method == "rbdeg":
+        from flex_tpu.reorder.rabbit import order_rabbit
+
+        # Composite: rabbit clusters contiguous (in emission order), vertices
+        # degree-DESCENDING inside each cluster.  Concentrates every
+        # cluster's high-degree columns into a contiguous prefix, which the
+        # windowed MXU kernel captures with a handful of aligned B blocks —
+        # the TPU analog of the reference rabbit's hub-grouping options
+        # (DataLoader.cu:455-655 keeps them off; we make them a first-class
+        # ordering because block-DMA eligibility, not cache reuse, is what
+        # ordering buys on TPU — docs/measurements.md).
+        _, labels = order_rabbit(g, want_labels=True, **kwargs)
+        return np.lexsort((-g.degrees, labels)).astype(np.int64)
     raise ValueError(f"unknown ordering {method!r}; have {sorted(ORDER_ABBR)}")
 
 

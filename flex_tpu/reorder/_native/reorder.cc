@@ -176,9 +176,12 @@ void flex_order_gorder(int64_t n, const int64_t* row_ptr, const int32_t* col,
 // ---------------------------------------------------------------------------
 // Rabbit modularity clustering (reference DataLoader.cu:455-655).
 // ---------------------------------------------------------------------------
+// labels_out (optional, may be NULL): cluster id per ORIGINAL vertex,
+// numbered in surviving-root emission order — lets callers build composite
+// orderings (e.g. degree-descending within each rabbit cluster).
 void flex_order_rabbit(int64_t n, const int64_t* row_ptr, const int32_t* col,
                        int32_t force_undirected, int64_t max_rounds,
-                       int64_t* perm_out) {
+                       int64_t* perm_out, int64_t* labels_out) {
   if (n == 0) return;
 
   // Unit-weight undirected multigraph adjacency (self-loops dropped).
@@ -198,7 +201,10 @@ void flex_order_rabbit(int64_t n, const int64_t* row_ptr, const int32_t* col,
     n_edges += deg[u];
   }
   if (n_edges == 0) {
-    for (int64_t u = 0; u < n; ++u) perm_out[u] = u;
+    for (int64_t u = 0; u < n; ++u) {
+      perm_out[u] = u;
+      if (labels_out) labels_out[u] = u;
+    }
     return;
   }
   const double two_m_inv = 1.0 / (2.0 * (double)n_edges);
@@ -269,14 +275,17 @@ void flex_order_rabbit(int64_t n, const int64_t* row_ptr, const int32_t* col,
   // Emit dendrogram leaves, clusters in surviving-root index order,
   // left subtree (merge target) before right (merged-in vertex).
   int64_t pos = 0;
+  int64_t cluster = -1;
   std::vector<int64_t> stack;
   for (int64_t r = 0; r < n; ++r) {
     if (!alive[r]) continue;
+    ++cluster;
     stack.push_back(tree[r]);
     while (!stack.empty()) {
       const int64_t node = stack.back();
       stack.pop_back();
       if (node < n) {
+        if (labels_out) labels_out[node] = cluster;
         perm_out[pos++] = node;
       } else {
         const Node& in_node = internals[node - n];

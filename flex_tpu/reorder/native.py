@@ -58,7 +58,8 @@ def _load():
                 ctypes.c_int64, i64p, i32p, i64p, i32p, ctypes.c_int64, i64p,
             ]
             lib.flex_order_rabbit.argtypes = [
-                ctypes.c_int64, i64p, i32p, ctypes.c_int32, ctypes.c_int64, i64p,
+                ctypes.c_int64, i64p, i32p, ctypes.c_int32, ctypes.c_int64,
+                i64p, i64p,
             ]
             _lib = lib
         except Exception as e:  # toolchain missing / compile failure
@@ -103,15 +104,18 @@ def order_gorder_native(
 
 def order_rabbit_native(
     row_ptr: np.ndarray, col: np.ndarray, force_undirected: bool,
-    max_rounds: int = 64,
-) -> np.ndarray:
+    max_rounds: int = 64, want_labels: bool = False,
+):
+    """Returns perm, or (perm, labels) with labels[old_vertex] = cluster id
+    in emission order when ``want_labels``."""
     lib = _load()
     assert lib is not None
     n = len(row_ptr) - 1
     out = np.empty(n, dtype=np.int64)
+    labels = np.empty(n, dtype=np.int64)
     lib.flex_order_rabbit(
         n, np.ascontiguousarray(row_ptr, np.int64),
         np.ascontiguousarray(col, np.int32),
-        1 if force_undirected else 0, max_rounds, out,
+        1 if force_undirected else 0, max_rounds, out, labels,
     )
-    return out
+    return (out, labels) if want_labels else out

@@ -22,11 +22,15 @@ from flex_tpu.sparse.csr import CSRGraph
 
 
 def order_rabbit(
-    g: CSRGraph, max_rounds: int = 64, use_native: bool | None = None
-) -> np.ndarray:
+    g: CSRGraph, max_rounds: int = 64, use_native: bool | None = None,
+    want_labels: bool = False,
+):
+    """Rabbit permutation; with ``want_labels``, also returns
+    labels[old_vertex] = cluster id in emission order."""
     n = g.m
     if n == 0:
-        return np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z.copy()) if want_labels else z
 
     if use_native is None:
         from flex_tpu.reorder import native
@@ -36,7 +40,8 @@ def order_rabbit(
         from flex_tpu.reorder import native
 
         return native.order_rabbit_native(
-            g.row_ptr, g.col, g.stats.is_directed, max_rounds
+            g.row_ptr, g.col, g.stats.is_directed, max_rounds,
+            want_labels=want_labels,
         )
 
     # Unit-weight undirected adjacency maps (DataLoader.cu:512-534).
@@ -53,7 +58,8 @@ def order_rabbit(
     deg = np.array([len(a) for a in adj], dtype=np.int64)
     n_edges = int(deg.sum())
     if n_edges == 0:
-        return np.arange(n, dtype=np.int64)
+        ident = np.arange(n, dtype=np.int64)
+        return (ident, ident.copy()) if want_labels else ident
     two_m_inv = 1.0 / (2.0 * n_edges)
 
     # Dendrogram: tree[v] is a nested structure of vertex ids.
@@ -109,10 +115,13 @@ def order_rabbit(
     # Emit leaves: surviving clusters in vertex-index order, left-to-right
     # within each dendrogram (v's subtree before u's, like leaves_apply).
     perm = np.empty(n, dtype=np.int64)
+    labels = np.empty(n, dtype=np.int64)
     pos = 0
+    cluster = -1
     for r in range(n):
         if not alive[r]:
             continue
+        cluster += 1
         stack = [tree[r]]
         while stack:
             node = stack.pop()
@@ -120,10 +129,11 @@ def order_rabbit(
                 stack.append(node[1])  # right (u) after left (v)
                 stack.append(node[0])
             else:
+                labels[node] = cluster
                 perm[pos] = node
                 pos += 1
     assert pos == n, (pos, n)
-    return perm
+    return (perm, labels) if want_labels else perm
 
 
 def modularity(g: CSRGraph, communities: np.ndarray) -> float:

@@ -1,0 +1,81 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flex_tpu.io import make_features
+from flex_tpu.io.synth import community_graph, bipartite_projection_graph, uniform_graph
+from flex_tpu.ops.window_spmm import prepare_windowed, window_select
+from flex_tpu.ops.ref import spmm_scipy
+from flex_tpu.reorder import reorder
+from flex_tpu.utils.check import res_check
+
+
+def _check(g, impl, **kw):
+    B = make_features(g, 16)
+    plan = prepare_windowed(g, impl=impl, **kw)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{impl}: {chk} stats={plan.stats}"
+    return plan
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_windowed_matches_scipy(impl):
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    plan = _check(g, impl, tm=256, W=128, J=4, min_count=32)
+    assert 0.15 < plan.coverage < 1.0
+    assert plan.ell.nnz == g.nnz - round(plan.coverage * g.nnz)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_windowed_clique_graph(impl):
+    g = bipartite_projection_graph(4000, 200_000, n_comm=6, seed=2)
+    g = reorder(g, "rabbit", check=False)
+    _check(g, impl, tm=128, W=128, J=4, min_count=16)
+
+
+def test_windowed_full_coverage():
+    # dense-enough graph: every entry lands in a window, residue is empty
+    g = community_graph(512, 60_000, n_comm=2, seed=1, shuffle=False)
+    B = make_features(g, 8)
+    plan = prepare_windowed(g, tm=256, W=128, J=4, min_count=1)
+    assert plan.ell.nnz == 0 and plan.coverage == 1.0
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, chk
+
+
+def test_windowed_refuses_scattered():
+    g = uniform_graph(4096, 40_000, seed=1)
+    with pytest.raises(ValueError):
+        prepare_windowed(g, tm=256, W=128, J=4, min_count=64)
+
+
+def test_windowed_trailing_empty_panels():
+    # zero-degree tail rows (post-DEG shape); last panel empty
+    from flex_tpu.sparse.csr import CSRGraph
+
+    rng = np.random.default_rng(0)
+    m = 700
+    rows = np.repeat(np.arange(256), 40)
+    cols = rng.integers(0, 256, rows.shape)
+    vals = np.ones(len(rows), np.float32)
+    g = CSRGraph.from_coo(rows, cols, vals, m, name="tail")
+    B = make_features(g, 8)
+    plan = prepare_windowed(g, tm=256, W=128, J=3, min_count=8)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, chk
+    assert np.all(C[256:] == 0.0)
+
+
+def test_window_select_stats():
+    g = community_graph(2048, 100_000, n_comm=4, seed=7, shuffle=False)
+    sel = window_select(g, tm=256, W=128, J=4, min_count=16)
+    assert 0 < sel["coverage"] <= 1.0
+    assert sel["n_res"] == g.nnz - round(sel["coverage"] * g.nnz)
+    assert (sel["res_deg"] >= 0).all()
+    assert sel["res_deg"].sum() == sel["n_res"]
+    # sentinel only in invalid slots
+    assert sel["win"].max() <= sel["nblk"]
