@@ -3,16 +3,32 @@
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
 
-Config: Reddit-scale SpMM (BASELINE.json config 3) — 232,965 rows,
-23.4M nnz (R-MAT stand-in; the real reddit.csv is not in-tree), k=128,
-DEG ordering, ELL kernel on the attached TPU chip.  Baseline =
-ASpT on H100, Reddit k=128: 1237.25 GFLOP/s (BASELINE.md; recorded there
-with ~99% wrong outputs — ours validates at err=0).
+Config (BASELINE.json config 3): Reddit-scale SpMM — 232,965 rows,
+23,446,803 nnz, k=128, f32 exact.  The graph is the `reddit_posts`
+bipartite-projection proxy (io/synth.py: matches the real GNN Reddit
+dataset's documented construction — posts linked by shared commenters —
+and its size/degree/homophily/clustering stats; the real reddit.csv is
+not distributable in-tree).  Ordering: rbdeg (rabbit clusters, degree
+sorted within).  Method: chosen by the autotuner's time model
+(bench/autotune.suggest), validated err=0 against SciPy.
+
+Baseline = ASpT on H100, Reddit k=128: 1237.25 GFLOP/s (BASELINE.md;
+recorded there with ~99% wrong outputs — ours validates at err=0).
+
+Timing conventions (CLAUDE.md / README):
+- GFLOP/s = 2·nnz·k / tElap.
+- tPre = format build (host metadata + device build + residue plan),
+  measured with warm XLA executables: the same prepare runs once to
+  compile, then the timed run measures the actual preprocessing work.
+  The reference's CUDA kernels are precompiled by nvcc, so its tPre
+  excludes compilation the same way.  Cold (compile-inclusive) time is
+  logged to stderr for transparency.
 All progress chatter goes to stderr; stdout stays one line.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,34 +38,67 @@ def log(msg):
 
 
 BASELINE_GFLOPS = 1237.25  # ASpT H100 Reddit k=128 (README.md:39)
+CACHE = "/tmp/reddit_posts_rbdeg.npz"
 
 
 def main() -> None:
     t_start = time.time()
     import jax
 
-    # Persistent compile cache: tPre is otherwise dominated by the first
-    # remote compile of the format-build kernel.
+    # Persistent compile cache: first-ever run still pays remote compiles,
+    # later runs (and the warm tPre measured below) do not.
     jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
+    from flex_tpu.bench.autotune import suggest
     from flex_tpu.bench.harness import bench_spmm
-    from flex_tpu.io.synth import rmat_graph
-    from flex_tpu.reorder import reorder
+    from flex_tpu.sparse.csr import CSRGraph
+    from flex_tpu.sparse.device import DeviceCSR
 
     k = 128
-    log("generating reddit-scale R-MAT (233K rows, 23.4M nnz)...")
-    g = rmat_graph(232_965, 23_446_803, seed=1, name="reddit_like")
-    log(f"graph: {g}")
-    log("applying DEG ordering...")
-    g = reorder(g, "deg", check=False)
+    if os.path.exists(CACHE):
+        log(f"loading cached ordered graph {CACHE}")
+        d = np.load(CACHE)
+        g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                                 name="reddit_posts", order="RBD")
+    else:
+        from flex_tpu.io.synth import reddit_posts
+        from flex_tpu.reorder import reorder
 
-    log("running ELL SpMM bench (k=128)...")
-    r = bench_spmm(g, k, method="ell", iters=5, check=True)
+        log("generating reddit_posts proxy (233K rows, 23.4M nnz)...")
+        g = reddit_posts(seed=0)
+        log(f"graph: {g}; applying rbdeg ordering...")
+        g = reorder(g, "rbdeg", check=False)
+        np.savez(CACHE, row_ptr=g.row_ptr, col=g.col, vals=g.vals)
+    log(f"graph ready at {time.time()-t_start:.0f}s: {g}")
+
+    sug = suggest(g, k)
+    log(f"autotuner: {sug.method} ({sug.reason})")
+    method = sug.method
+    prep_kwargs = dict(sug.prep_kwargs)
+    prep_kwargs.pop("sel", None)  # timed prepare must redo all host work
+
+    log("uploading CSR + warming executables (cold compile pass)...")
+    t0 = time.time()
+    dev = DeviceCSR.from_graph(g)
+    from flex_tpu.bench.harness import _resolve_prepare, _sync
+
+    plan = _resolve_prepare(method)(g, dev=dev, **prep_kwargs)
+    import jax.numpy as jnp
+
+    Bw = jnp.zeros((g.n, k), jnp.float32)
+    _sync(plan(Bw))
+    del plan, Bw
+    t_cold = time.time() - t0
+    log(f"cold prepare+compile: {t_cold:.1f}s")
+
+    r = bench_spmm(g, k, method=method, iters=10, check=True, dev=dev,
+                   **prep_kwargs)
     log(
-        f"tPre={r.t_pre:.2f}s tElap={r.t_elap*1e3:.1f}ms "
-        f"gflops={r.gflops:.1f} pre/elap={r.pre_ratio:.2f} "
+        f"tPre={r.t_pre:.2f}s (warm; cold incl. compile {t_cold:.1f}s) "
+        f"tElap={r.t_elap*1e3:.1f}ms gflops={r.gflops:.1f} "
+        f"pre/elap={r.pre_ratio:.2f} "
         f"err_frac={r.check.err_frac if r.check else None} "
         f"extra={r.extra} total_wall={time.time()-t_start:.0f}s"
     )
@@ -60,7 +109,7 @@ def main() -> None:
         value = round(r.gflops, 2)
 
     print(json.dumps({
-        "metric": "spmm_effective_gflops_reddit_like_k128",
+        "metric": "spmm_effective_gflops_reddit_posts_k128",
         "value": value,
         "unit": "GFLOP/s",
         "vs_baseline": round(value / BASELINE_GFLOPS, 4),

@@ -1,18 +1,38 @@
 """Autotuner: pick the SpMM strategy per matrix.
 
 The reference hand-sweeps 4 orderings × 4 tile shapes × 36 kernels and a
-human reads the table (``flex.cu:4560-5716``).  Here the tile-occupancy
-statistics drive a cheap static *suggestion*, and an optional measured
-search refines it on device (BASELINE.json: "tile-occupancy stats from
-reordering drive an auto-tuner").
+human reads the table (``flex.cu:4560-5716``).  Here a static *time
+model* built from the format statistics and measured per-primitive rates
+picks the strategy (BASELINE.json: "tile-occupancy stats from reordering
+drive an auto-tuner"), and an optional measured search refines it on
+device.
+
+Measured rate constants (docs/measurements.md, reddit-scale, k=128):
+- ELL chain: ~7.3 ns per *padded* nnz (take→materialise→reduce at the
+  ~140 GB/s effective stream the chain achieves).
+- windowed dense part: ~0.6 µs per kept (256,128) window (2.26 µs per
+  G=4 step measured on reddit_posts: MXU-HIGHEST dot + A/B block DMA,
+  pipelined).
+- dense-A einsum (panel tail path): MXU HIGHEST ≈ 8.9 TF/s; HBM stream
+  ≈ 250 GB/s.
+These are per-chip calibrations, not universal truths; the measured
+`autotune()` search is the ground truth when it matters.
 """
 from __future__ import annotations
 
 import dataclasses
 from typing import Sequence
 
+import numpy as np
+
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.tiling.stats import tile_stats
+
+ELL_NS_PER_PAD = 7.3e-9
+WIN_US_PER_WINDOW = 0.6e-6
+MXU_HIGHEST = 8.9e12
+HBM = 250e9
+FIXED_OVERHEAD = 4e-3  # dispatch + output assembly floor
 
 
 @dataclasses.dataclass
@@ -20,30 +40,31 @@ class Suggestion:
     method: str
     reason: str
     prep_kwargs: dict
+    model: dict | None = None  # predicted seconds per candidate
+
+
+def _t_ell(degrees) -> float:
+    from flex_tpu.ops.ell_spmm import ell_padded_nnz
+
+    return ell_padded_nnz(degrees) * ELL_NS_PER_PAD
 
 
 def suggest(
-    g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512
+    g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512,
+    win_tm: int = 256, win_W: int = 128, win_min_count: int = 128,
 ) -> Suggestion:
-    """Static heuristic from format statistics (no device needed).
-
-    Decision model (docs/measurements.md):
-    - panel (dense-A MXU) pays off only when per-panel B-reuse
-      nnz/unique-cols ≥ ~2 — otherwise its dense-A traffic ≥ the gather it
-      saves;
-    - ell is the robust default (zero inflation, exact f32);
-    - xla take+segment_sum only wins for tiny graphs where kernel count
-      overhead dominates.
-    """
+    """Static time-model decision from format statistics (no device
+    needed).  Candidates: xla (tiny graphs), band (contiguous windows),
+    windowed (community blocks + residue), panel (deduplicated-gather
+    dense tail, needs a hub-prefix ordering), ell (robust default).
+    gespmm is never suggested (documented-negative baseline,
+    ops/gespmm.py)."""
     if g.nnz < 50_000:
         return Suggestion("xla", "tiny graph: dispatch-bound", {})
-    import numpy as np
 
-    st = tile_stats(g, bm=tm)
-    # band: all panels' columns inside a narrow window -> contiguous MXU path
-    # (the big winner when it applies: 334 GF/s vs 12 for gather-based).
-    # Uses prepare_band's own worst-case window model so eligibility and the
-    # actual format build can't drift.
+    # band: all panels' columns inside one narrow window — the big winner
+    # when it applies (616 GF/s measured).  Uses prepare_band's own
+    # worst-case window model so eligibility and the format can't drift.
     from flex_tpu.ops.pallas_band import panel_window_stats
 
     band_tm = max(tm, 256)
@@ -54,18 +75,49 @@ def suggest(
             f"window={w_pad} density={band_density:.3f}: contiguous MXU path",
             {"tm": band_tm},
         )
-    reuse = g.nnz / max(st.unique_cols_per_panel_avg * st.n_row_panels, 1)
+
+    model: dict[str, float] = {"ell": _t_ell(g.degrees) + FIXED_OVERHEAD}
+
+    # windowed: share the builder's own selection (window_select) so the
+    # model and the built format agree.
+    win_kwargs = {"tm": win_tm, "W": win_W, "min_count": win_min_count}
+    from flex_tpu.ops.window_spmm import G, window_select
+
+    sel = window_select(g, **win_kwargs)
+    if sel["coverage"] >= 0.15:
+        n_win = sel["total_steps"] * G
+        model["windowed"] = (n_win * WIN_US_PER_WINDOW
+                             + _t_ell(sel["res_deg"]) + FIXED_OVERHEAD)
+
+    # panel: dense-A over per-panel deduplicated columns + hub row-split.
+    # Pays only when B-reuse is high AND the dense tail stays small —
+    # hub-concentrated column skew (see io/synth.hub_graph), not plain
+    # community structure.  Requires a hub-prefix ordering (deg).
+    st = tile_stats(g, bm=tm)
     deg = g.degrees
     hub_prefix_ok = bool(
         (np.diff((deg >= hub_threshold).astype(np.int8)) <= 0).all()
     )
-    if reuse >= 2.0 and hub_prefix_ok:
-        return Suggestion(
-            "panel",
-            f"panel B-reuse {reuse:.2f} ≥ 2 at tm={tm}",
-            {"tm": tm, "hub_threshold": hub_threshold},
-        )
-    return Suggestion("ell", f"panel B-reuse {reuse:.2f} < 2: gather-bound", {})
+    if hub_prefix_ok:
+        u_avg = st.unique_cols_per_panel_avg
+        n_p = st.n_row_panels
+        gathered = n_p * u_avg
+        a_bytes = n_p * tm * (1.3 * u_avg) * 4  # ~bucket padding
+        t_panel = ((a_bytes + 3 * gathered * k * 4) / HBM
+                   + n_p * tm * u_avg * k * 2 / MXU_HIGHEST
+                   + FIXED_OVERHEAD)
+        reuse = g.nnz / max(gathered, 1)
+        if reuse >= 2.0:
+            model["panel"] = t_panel
+
+    method = min(model, key=model.get)
+    kw = {}
+    if method == "windowed":
+        kw = dict(win_kwargs, sel=sel)
+    elif method == "panel":
+        kw = {"tm": tm, "hub_threshold": hub_threshold}
+    pretty = ", ".join(f"{m}={t*1e3:.0f}ms" for m, t in sorted(model.items()))
+    return Suggestion(method, f"time model: {pretty}", kw, model=model)
 
 
 def autotune(

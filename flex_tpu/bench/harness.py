@@ -30,6 +30,11 @@ ROOFLINE = {
     "v5p": {"hbm": 2765e9, "bf16": 459e12, "f32": 115e12},
 }
 
+# Measured sustained HBM stream on the attached chip (docs/measurements.md:
+# 195-300 GB/s through the axon relay); "hbm_frac" report columns are
+# relative to this, the roof a kernel can actually reach here.
+HBM_MEASURED = 250e9
+
 
 @dataclasses.dataclass
 class BenchResult:
@@ -93,6 +98,7 @@ def bench_spmm(
     gold: np.ndarray | None = None,
     check: bool = True,
     iters: int = 10,
+    trace_dir: str | None = None,
     **prep_kwargs,
 ) -> BenchResult:
     import jax.numpy as jnp
@@ -124,6 +130,28 @@ def bench_spmm(
 
     B_dev = jnp.asarray(B)
     t_elap = _time_device(plan, B_dev, iters=iters)
+
+    # Measured-run analytics (reference flex.cu:5505-5688: byte model +
+    # per-config AI + B-reuse joined with the measured launch): predicted
+    # traffic, implied arithmetic intensity, fraction of the measured HBM
+    # roof achieved, and the B-reuse factor u = nnz / gathered rows.
+    if hasattr(plan, "traffic_model"):
+        mdl = plan.traffic_model(k)
+        extra["model_gb"] = round(mdl["bytes"] / 1e9, 4)
+        extra["ai_model"] = round(2 * g.nnz * k / max(mdl["bytes"], 1), 4)
+        extra["hbm_frac"] = round(
+            mdl["bytes"] / max(t_elap, 1e-12) / HBM_MEASURED, 4)
+        if mdl.get("gathered_rows"):
+            extra["b_reuse"] = round(g.nnz / mdl["gathered_rows"], 4)
+
+    if trace_dir:
+        # One traced dispatch (kept out of the timed loop): writes a
+        # Perfetto/TensorBoard trace directory — the NPerf-replay analog.
+        from flex_tpu.utils.trace import trace
+
+        with trace(trace_dir):
+            _sync(plan(B_dev))
+        extra["trace_dir"] = trace_dir
 
     chk = None
     if check:
@@ -171,7 +199,17 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.window_spmm import prepare_windowed
 
         return prepare_windowed
+    if method == "gespmm":
+        from flex_tpu.ops.gespmm import prepare_gespmm
+
+        return prepare_gespmm
     raise ValueError(f"unknown method {method!r}")
+
+
+# methods whose format has a row-panel height knob (the reference sweeps
+# tm ∈ {2,4,8,16} via tileConfs[], flex.cu:4143-4152; MXU panels want
+# 128/256)
+_TM_METHODS = ("panel", "band", "windowed")
 
 
 def sweep(
@@ -179,12 +217,17 @@ def sweep(
     ks: tuple[int, ...] = (32, 128),
     orders: tuple[str, ...] = ("ovo", "deg", "rcm", "rabbit"),
     methods: tuple[str, ...] = ("xla",),
+    tms: tuple[int, ...] = (128, 256),
     csv_path: str | None = None,
     check: bool = True,
     iters: int = 10,
 ) -> list[BenchResult]:
-    """Ordering × k × method sweep, like the reference's run() over
-    4 orderings × 4 tile shapes."""
+    """Ordering × k × method × tile-shape sweep — the reference's run()
+    grid (4 orderings × 4 tile heights × kernel, flex.cu:4695-4825).
+    Methods without a tile-shape knob (ell, xla) run once per (order, k);
+    format-ineligible configs (band on a non-banded matrix) are recorded
+    as error rows, matching the reference's practice of printing every
+    config."""
     from flex_tpu.reorder import reorder
 
     results = []
@@ -192,18 +235,22 @@ def sweep(
         g_ord = reorder(g, order, check=False) if order != "ovo" else g
         for k in ks:
             for method in methods:
-                try:
-                    r = bench_spmm(g_ord, k, method=method, check=check,
-                                   iters=iters)
-                except Exception as e:  # record failures, keep sweeping
-                    r = BenchResult(
-                        graph=g.name, order=order, method=method, k=k, m=g.m,
-                        nnz=g.nnz, t_pre=0.0, t_elap=float("inf"), gflops=0.0,
-                        pre_ratio=0.0, check=None,
-                        extra={"error": f"{type(e).__name__}: {e}"[:200]},
-                    )
-                results.append(r)
-                print(_fmt(r))
+                for tm in (tms if method in _TM_METHODS else (None,)):
+                    kw = {"tm": tm} if tm is not None else {}
+                    try:
+                        r = bench_spmm(g_ord, k, method=method, check=check,
+                                       iters=iters, **kw)
+                    except Exception as e:  # record failures, keep sweeping
+                        r = BenchResult(
+                            graph=g.name, order=order, method=method, k=k,
+                            m=g.m, nnz=g.nnz, t_pre=0.0, t_elap=float("inf"),
+                            gflops=0.0, pre_ratio=0.0, check=None,
+                            extra={"error": f"{type(e).__name__}: {e}"[:200]},
+                        )
+                    if tm is not None:
+                        r.extra["tm"] = tm
+                    results.append(r)
+                    print(_fmt(r))
     if csv_path:
         write_csv(results, csv_path)
     return results

@@ -43,22 +43,44 @@ def main(argv=None) -> int:
           f"{g.degree_histogram().tolist()}")
 
     if cfg.method == "sweep":
-        # the reference's run(): ordering × method sweep with one report
-        # table (flex.cu:4560-5716); orderings are applied by the sweep
-        # itself, on the original graph.
+        # the reference's run(): ordering × tile-shape × kernel sweep with
+        # one report table (flex.cu:4560-5716, 4 orderings × tm∈{2,4,8,16});
+        # orderings are applied by the sweep itself, on the original graph.
         from flex_tpu.bench.harness import sweep
 
         results = sweep(
-            g, ks=(cfg.k,), orders=("ovo", "deg", "rcm", "rabbit"),
-            methods=("xla", "ell", "panel"), csv_path=cfg.csv,
+            g, ks=(cfg.k,),
+            orders=("ovo", "deg", "rcm", "dfs", "gorder", "rabbit"),
+            methods=("xla", "ell", "panel", "band", "windowed"),
+            tms=(128, 256), csv_path=cfg.csv,
             check=cfg.check, iters=cfg.iters,
         )
         bad = [r for r in results if r.check is not None and not r.check.ok]
         return 1 if bad else 0
 
     if cfg.order != "ovo":
-        print(f"applying ordering: {cfg.order}")
-        g = reorder(g, cfg.order, check=False)
+        import os
+
+        from flex_tpu.reorder import ORDER_ABBR, compute_order
+        from flex_tpu.reorder.inout import load_order, save_order
+        from flex_tpu.sparse.perm import apply_vertex_order
+
+        of = cfg.order_file
+        if of and os.path.exists(of if of.endswith(".npy") else of + ".npy"):
+            # reference inout.cu:20-37: reload a persisted ordering instead
+            # of recomputing gorder/rabbit on every run
+            print(f"loading ordering from {of}")
+            perm = load_order(of)
+            g = apply_vertex_order(g, perm, ORDER_ABBR[cfg.order],
+                                   check=False)
+        else:
+            print(f"applying ordering: {cfg.order}")
+            perm = compute_order(g, cfg.order)
+            if of:
+                save_order(perm, of)
+                print(f"saved ordering to {of}")
+            g = apply_vertex_order(g, perm, ORDER_ABBR[cfg.order],
+                                   check=False)
 
     method = cfg.method
     if method == "auto":
@@ -73,7 +95,7 @@ def main(argv=None) -> int:
     try:
         r = bench_spmm(
             g, cfg.k, method=method, iters=cfg.iters, check=cfg.check,
-            **prep_kwargs,
+            trace_dir=cfg.trace, **prep_kwargs,
         )
     except (ValueError, NotImplementedError) as e:
         if cfg.method != "auto" or method == "ell":
@@ -81,7 +103,8 @@ def main(argv=None) -> int:
         print(f"{method} refused ({e}); falling back to ell")
         method = "ell"
         r = bench_spmm(g, cfg.k, method="ell", iters=cfg.iters,
-                       check=cfg.check, **cfg.prep_kwargs("ell"))
+                       check=cfg.check, trace_dir=cfg.trace,
+                       **cfg.prep_kwargs("ell"))
     print(_fmt(r))
     if cfg.csv:
         write_csv([r], cfg.csv)

@@ -29,10 +29,21 @@ class FlexConfig:
     hub_threshold: int = 512
     hub_width: int = 2048
 
+    # windowed params
+    W: int = 128
+    J: int = 16
+    min_count: int = 160
+
     # bench params
     iters: int = 10
     check: bool = True
     csv: str | None = None
+    # profiler trace directory (--trace=/tmp/dir wires utils.trace into the
+    # bench run — the reference's NPerf replay analog)
+    trace: str | None = None
+    # persist/reuse the computed ordering (reference inout.cu:20-37):
+    # --order-file=path.npy loads it if present, else computes + saves
+    order_file: str | None = None
 
     def prep_kwargs(self, method: str) -> dict:
         if method == "ell":
@@ -46,6 +57,13 @@ class FlexConfig:
                 "hub_threshold": self.hub_threshold,
                 "hub_width": self.hub_width,
             }
+        if method == "windowed":
+            return {
+                "tm": max(self.tm, 256), "W": self.W, "J": self.J,
+                "min_count": self.min_count, "b_dtype": self.b_dtype,
+            }
+        if method == "band":
+            return {"tm": max(self.tm, 256)}
         return {}
 
     @staticmethod

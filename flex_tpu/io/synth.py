@@ -213,6 +213,39 @@ def _sym_from_pairs(pair, m, rng, shuffle, name) -> CSRGraph:
     return CSRGraph.from_coo(rows, cols, vals, m, name=name)
 
 
+def hub_graph(
+    m: int,
+    nnz_target: int,
+    n_hub_cols: int = 512,
+    hub_frac: float = 0.9,
+    seed: int = 0,
+    name: str = "hub",
+) -> CSRGraph:
+    """Hub-concentrated column skew: ``hub_frac`` of all edges point at
+    ``n_hub_cols`` popular columns (Zipf within the hub set), the rest
+    uniform.  The structure of bipartite recommendation / citation-hub
+    graphs after a DEG column ordering — and the family where the
+    ``panel`` dense-A strategy legitimately wins: per-panel unique
+    columns collapse to ≲ n_hub_cols, so B-reuse is ~deg·tm/n_hub_cols
+    while ELL still pays per-nnz gather (docs/measurements.md)."""
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, m, int(nnz_target * 1.15) + 16)
+    is_hub = rng.random(len(rows)) < hub_frac
+    zipf_w = 1.0 / np.arange(1, n_hub_cols + 1) ** 0.8
+    cols = np.where(
+        is_hub,
+        rng.choice(n_hub_cols, len(rows), p=zipf_w / zipf_w.sum()),
+        rng.integers(0, m, len(rows)),
+    )
+    rows, cols = _dedupe_coo(rows, cols, m)
+    if len(rows) > nnz_target:
+        sel = rng.choice(len(rows), nnz_target, replace=False)
+        sel.sort()
+        rows, cols = rows[sel], cols[sel]
+    vals = (2.0 * rng.random(len(rows)) - 1.0).astype(np.float32)
+    return CSRGraph.from_coo(rows, cols, vals, m, name=name)
+
+
 # (n, nnz) matched to README.md:13-20 dataset table.
 def reddit_like(seed: int = 0) -> CSRGraph:
     """Reddit-scale R-MAT stand-in: 232,965 rows, ~23.4M nnz."""

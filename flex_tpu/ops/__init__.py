@@ -9,6 +9,10 @@ autotuner that picks per matrix (SURVEY.md §7 step 4):
 - ``"ell"``        — width-bucketed row chunks (robust default).
 - ``"panel"``      — hub row-split + dense-A MXU panels (high B-reuse).
 - ``"band"``       — dense column-window MXU path (banded/RCM matrices).
+- ``"windowed"``   — per-panel dense MXU windows + ELL residue hybrid
+                     (community graphs after rbdeg/rabbit).
+- ``"gespmm"``     — GE-SpMM row-parallel port (documented-negative
+                     baseline, flex.cu:81-273).
 """
 from __future__ import annotations
 
@@ -34,4 +38,12 @@ def spmm(g, B, method: str = "xla", **kwargs):
         from flex_tpu.ops import panel_spmm as _panel
 
         return _panel.spmm_panel(g, B, **kwargs)
+    if method == "windowed":
+        from flex_tpu.ops import window_spmm as _win
+
+        return _win.spmm_windowed(g, B, **kwargs)
+    if method == "gespmm":
+        from flex_tpu.ops import gespmm as _ge
+
+        return _ge.spmm_gespmm(g, B, **kwargs)
     raise ValueError(f"unknown spmm method {method!r}")

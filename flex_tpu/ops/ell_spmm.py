@@ -135,6 +135,20 @@ class EllPlan:
                    padded_nnz=padded_nnz, nnz=nnz, max_gather_rows=mgr,
                    b_dtype=b_dtype)
 
+    def traffic_model(self, k: int) -> dict:
+        """Predicted HBM bytes per call (the reference's dataVolume/NPerf
+        byte model, ``flex.cu:5505-5540``, joined with measured runs by the
+        bench harness).  Structure measured in docs/measurements.md: the
+        take→materialise→reduce chain reads B rows, writes the gather
+        output, re-reads it for the multiply-reduce, writes chunk partials,
+        and scatter-adds them into C."""
+        bb = 2 if self.b_dtype == "bfloat16" else 4
+        n_chunks = int(self.chunk_row.shape[0])
+        by = (3 * self.padded_nnz * k * bb
+              + 2 * n_chunks * k * 4
+              + self.m * k * 4)
+        return {"bytes": int(by), "gathered_rows": self.padded_nnz}
+
     @property
     def views(self) -> tuple:
         return tuple((0, c.shape[0], c.shape[1]) for c, _ in self.buckets)
@@ -147,6 +161,20 @@ class EllPlan:
             "n_chunks": int(self.chunk_row.shape[0]),
             "views": self.views,
         }
+
+
+def ell_padded_nnz(degrees: np.ndarray,
+                   widths: tuple[int, ...] = DEFAULT_WIDTHS) -> int:
+    """Padded-nnz prediction of the width-bucketed layout — the static
+    input to the autotuner's ELL time model (no format build needed)."""
+    w_arr = np.asarray(widths, dtype=np.int64)
+    deg = degrees[degrees > 0].astype(np.int64)
+    if not len(deg):
+        return 0
+    wor = w_arr[np.minimum(np.searchsorted(w_arr, deg), len(w_arr) - 1)]
+    full = deg > w_arr[-1]
+    pad = np.where(full, -(-deg // w_arr[-1]) * w_arr[-1], wor)
+    return int(pad.sum())
 
 
 def prepare_ell(

@@ -230,6 +230,18 @@ class BandPlan:
             "impl": self.impl,
         }
 
+    def traffic_model(self, k: int) -> dict:
+        """Byte model: dense band A read once; per panel the kernel DMAs
+        its W-aligned B block(s) (upper bound — Pallas skips the DMA when
+        consecutive panels index the same block); C written once."""
+        st = self.stats
+        P = st["n_panels"]
+        n_b_blocks = 2 if self.impl == "pallas2" else 1
+        by = (st["band_bytes"]
+              + P * n_b_blocks * self.w_pad * k * 4
+              + self.m * k * 4)
+        return {"bytes": int(by)}
+
 
 def panel_window_stats(g: CSRGraph, tm: int):
     """Per-panel column-window model shared by prepare_band and the

@@ -138,6 +138,15 @@ class PanelPlan:
             "gathered_rows": self.gathered_rows,
         }
 
+    def traffic_model(self, k: int) -> dict:
+        """Byte model: dense A buckets read once; gathered (deduplicated)
+        B rows follow the take→materialise→reduce chain; C written once."""
+        st = self.stats
+        by = (st["a_dense_bytes"]
+              + 3 * self.gathered_rows * k * 4
+              + self.m * k * 4)
+        return {"bytes": int(by), "gathered_rows": self.gathered_rows}
+
 
 def prepare_panel(
     g: CSRGraph,

@@ -10,23 +10,35 @@ A tiles fed to the MXU through Pallas blockspec DMA — no gather at all —
 and the out-of-window residue rides the proven ELL gather path; the two
 outputs sum.
 
-Format (per row panel of ``tm`` rows):
-- the panel's ``W``-aligned column blocks are ranked by nnz count; the
-  top ``J`` with count ≥ ``min_count`` become windows (break-even on this
-  chip: a (256, 256) A tile costs ~384 KB of HBM traffic ≈ the gather
-  cost of ~130-170 nnz — docs/measurements.md).
-- dense A is one f32 [P, TM, J·W] array built ON DEVICE by a single
-  scatter from the resident CSR (`DeviceCSR`); the host ships only the
-  O(P·nblk) block→slot lookup table and O(m) residue metadata.
-- the residue (entries outside every window) is compacted on device into
-  a contiguous CSR-ordered (col, val) pair and handed to
+Round-2 design (v2, "step-major compact"): the per-panel window-count
+distribution on community graphs is heavily skewed (p50 ≈ 10, p99 ≈ 250
+on the reddit_posts proxy), so any fixed per-panel J either truncates
+the fat tail (coverage loss) or pads the thin majority (A-byte waste —
+measured 2-4x).  Instead the format is a flat list of *steps*, G=4
+windows each; a panel with nb windows owns ceil(nb/G) consecutive steps
+(≤ 1 + (G-1)/nb padding):
+
+- ONE Pallas program, grid = (total_steps,): per step one
+  (TM, G·W) x (G·W, k) MXU dot, accumulated into the step's panel
+  output block.  Scalar-prefetched arrays drive everything: per-step
+  B-block ids (G of them), the output-panel index map, and a
+  first-step-of-panel flag that zero-initialises the accumulator —
+  consecutive steps of one panel revisit the same output block, the
+  supported Pallas accumulation pattern (cf. ``pallas_band``).
+- per-panel kept windows are sorted ascending by block id (neighbouring
+  panels in one community share hub blocks, so B-block DMAs often
+  repeat and get skipped).
+- dense A is ONE flat f32 buffer [total_steps·TM·G·W] built on device
+  by a single scatter from the resident CSR (`DeviceCSR`); the host
+  ships only O(P) layout tables + the O(P·nblk) block→slot lookup.
+- the residue (entries outside every kept window) is compacted on
+  device into contiguous CSR-ordered (col, val) arrays and handed to
   :func:`flex_tpu.ops.ell_spmm.prepare_ell`.
 
-Kernel: one grid step per panel; J scalar-prefetch-indexed (W, k) B
-blocks are concatenated in VMEM and hit with ONE MXU dot
-(TM, J·W) x (J·W, k) — the generalisation of ``pallas_band``'s two-dot
-scheme to J windows.  Unused window slots point at a zero B block past
-the end of B (sentinel), with all-zero A columns.
+Measured (docs/measurements.md): the dense part is MXU-HIGHEST-bound at
+~8.9 TF/s (HIGH/DEFAULT precision fail the reference tolerance), i.e.
+~1 µs per (256,128) window ≈ the residue-path cost of ~130 nnz — which
+sets the default ``min_count``.
 """
 from __future__ import annotations
 
@@ -45,74 +57,123 @@ from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
 from flex_tpu.ops.ell_spmm import EllPlan, prepare_ell
 
+G = 4  # windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
+
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
 def window_select(
-    g: CSRGraph, tm: int = 256, W: int = 256, J: int = 16,
+    g: CSRGraph, tm: int = 256, W: int = 128, J: int = 1024,
     min_count: int = 128,
 ) -> dict:
-    """Host-side window selection + stats (shared with the autotuner).
+    """Host-side window selection + step layout (shared with the
+    autotuner so eligibility and the built format can't drift).
+
+    Per panel: every W-aligned column block with ≥ ``min_count`` nnz is a
+    window; a panel with more than ``J`` keeps the top ones by count.
+    Kept windows are sorted ascending by block id and packed into
+    G-window steps.
 
     Returns dict with:
-      win       int32[P, J]   selected block ids, sentinel = nblk for pads
-      slot      int32[P*nblk] 0 = residue, j+1 = window slot j
-      coverage  float         fraction of nnz inside windows
-      res_deg   int64[m]      residue degree per row
-      dense_bytes int
-    O(nnz) host work: one repeat, one bincount, one argpartition row-wise,
-    one table lookup.
+      win_step   int32[total_steps*G] block ids (sentinel = nblk pads)
+      out_panel  int32[total_steps]   dense output-panel index per step
+      first      int32[total_steps]   1 on a panel's first step
+      pstep0     int64[P]             panel -> first step (-1 if none)
+      slot       int32[P*nblk]        0 = residue, j+1 = window slot j
+      coverage   float                fraction of nnz inside kept windows
+      res_deg    int64[m]             residue degree per row
+      a_elems, dense_bytes, total_steps, n_used_panels, P, nblk, n_res
+    O(nnz + P·nblk) host work, all vectorised except the rare fat-panel
+    truncation loop.
     """
     m, nnz = g.m, g.nnz
     P = max(-(-m // tm), 1)
     nblk = max(-(-g.n // W), 1)
+
     rows = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
     key = (rows // tm) * nblk + (g.col.astype(np.int64) // W)
     cnt = np.bincount(key, minlength=P * nblk).reshape(P, nblk)
 
-    J_eff = min(J, nblk)
-    top = np.argpartition(-cnt, J_eff - 1, axis=1)[:, :J_eff]
-    top_cnt = np.take_along_axis(cnt, top, axis=1)
-    valid = top_cnt >= min_count
-    win = np.where(valid, top, nblk).astype(np.int32)  # sentinel = nblk
-    if J_eff < J:
-        win = np.concatenate(
-            [win, np.full((P, J - J_eff), nblk, np.int32)], axis=1)
-        valid = np.concatenate([valid, np.zeros((P, J - J_eff), bool)], axis=1)
+    valid = cnt >= max(min_count, 1)
+    nb_per = valid.sum(axis=1)
+    over = np.where(nb_per > J)[0]
+    for p in over:  # cap fat panels: keep the top-J blocks by count
+        ids = np.where(valid[p])[0]
+        keep = ids[np.argpartition(-cnt[p, ids], J - 1)[:J]]
+        valid[p] = False
+        valid[p, keep] = True
+    nb_per = np.minimum(nb_per, J)
 
+    used = np.where(nb_per > 0)[0]
+    S_per = -(-nb_per[used] // G)
+    total_steps = int(S_per.sum())
+    step_of = np.repeat(np.arange(len(used), dtype=np.int64), S_per)
+    first = np.zeros(total_steps, dtype=np.int32)
+    step_starts = np.concatenate([[0], np.cumsum(S_per)[:-1]]) \
+        if total_steps else np.zeros(0, dtype=np.int64)
+    if total_steps:
+        first[step_starts] = 1
+    pstep0 = np.full(P, -1, dtype=np.int64)
+    pstep0[used] = step_starts
+
+    # per-used-panel sorted window ids -> flat win_step with sentinel pads
+    win_step = np.full(total_steps * G, nblk, dtype=np.int32)
     slot = np.zeros(P * nblk, dtype=np.int32)
-    pw = np.repeat(np.arange(P, dtype=np.int64), J)
-    jw = np.tile(np.arange(J, dtype=np.int64), P)
-    vr = valid.ravel()
-    slot[pw[vr] * nblk + win.ravel()[vr].astype(np.int64)] = jw[vr] + 1
+    if len(used):
+        idsm = np.where(valid[used], np.arange(nblk, dtype=np.int64)[None, :],
+                        np.int64(nblk))
+        idsm.sort(axis=1)
+        width = int(nb_per[used].max())
+        idsm = idsm[:, :width]
+        jj, uu = np.meshgrid(np.arange(width, dtype=np.int64),
+                             np.arange(len(used), dtype=np.int64))
+        real = idsm < nblk
+        flat_slot = (step_starts[uu[real]] * G + jj[real])
+        win_step[flat_slot] = idsm[real].astype(np.int32)
+        slot[used[uu[real]] * nblk + idsm[real]] = (jj[real] + 1).astype(
+            np.int32)
 
     j1 = slot[key]
     hit = j1 > 0
     covered = int(hit.sum())
     res_deg = g.degrees - np.bincount(rows[hit], minlength=m)
+    a_elems = total_steps * tm * G * W
     return {
-        "win": win,
+        "win_step": win_step,
+        "out_panel": step_of.astype(np.int32),
+        "first": first,
+        "pstep0": pstep0,
         "slot": slot,
+        "used": used,
         "coverage": covered / max(nnz, 1),
         "n_res": nnz - covered,
         "res_deg": res_deg,
-        "dense_bytes": P * tm * J * W * 4,
+        "a_elems": a_elems,
+        "dense_bytes": a_elems * 4,
+        "total_steps": total_steps,
+        "n_used_panels": len(used),
         "P": P,
         "nblk": nblk,
     }
 
 
 @functools.partial(jax.jit, static_argnames=("layout",))
-def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, *, layout):
-    """Device format build from the resident CSR + the O(P·nblk) slot table.
+def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                    *, layout):
+    """Device format build from the resident CSR + O(P)+O(P·nblk) tables.
 
-    Returns (A [P, TM, J*W], res_col [n_res], res_vals [n_res]); residue
+    A layout is step-major: window j of panel p lives in step
+    pstep0[p] + j//G at in-step slot j%G, i.e. flat element
+    (pstep0[p] + j//G)·(TM·G·W) + (row%TM)·(G·W) + (j%G)·W + col%W.
+
+    Returns (A [total_steps, TM, G*W], res_col, res_vals); residue
     entries keep CSR order, so the ELL builder's contiguous-slice layout
     stays valid.
     """
-    nnz, P, TM, W, J, nblk, n_res = layout
+    nnz, TM, W, nblk, n_res, total_steps = layout
+    a_elems = total_steps * TM * G * W
     e = jnp.arange(nnz, dtype=jnp.int32)
     rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
     p = rows // TM
@@ -121,12 +182,13 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, *, layout):
     hit = j1 > 0
     j = j1 - 1
 
-    flat = ((p * TM + rows % TM) * (J * W) + j * W + dev_col % W)
-    dump = P * TM * J * W
-    a = jnp.zeros((dump + 1,), jnp.float32).at[
-        jnp.where(hit, flat, dump)
+    # int32-safe: a_elems is capped below 2^31 by prepare_windowed
+    flat = ((pstep0[p] + j // G) * (TM * G * W)
+            + (rows % TM) * (G * W) + (j % G) * W + dev_col % W)
+    a = jnp.zeros((a_elems + 1,), jnp.float32).at[
+        jnp.where(hit, flat, a_elems)
     ].add(jnp.where(hit, dev_vals, 0.0))
-    A = a[:dump].reshape(P, TM, J * W)
+    A = a[:a_elems].reshape(total_steps, TM, G * W)
 
     res_pos = jnp.cumsum(~hit) - 1  # int32-safe: nnz < 2^31
     pos = jnp.where(hit, n_res, res_pos)
@@ -135,11 +197,17 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, *, layout):
     return A, res_col, res_vals
 
 
-def _make_window_kernel(J, precision):
-    def kernel(win_ref, a_ref, *refs):
+def _make_window_kernel(precision):
+    def kernel(first_ref, panel_ref, win_ref, a_ref, *refs):
         b_refs, o_ref = refs[:-1], refs[-1]
-        bcat = jnp.concatenate([b[:] for b in b_refs], axis=0)  # (J*W, k)
-        o_ref[:] = jax.lax.dot(
+        s = pl.program_id(0)
+
+        @pl.when(first_ref[s] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        bcat = jnp.concatenate([b[:] for b in b_refs], axis=0)  # (G*W, k)
+        o_ref[:] += jax.lax.dot(
             a_ref[0], bcat, precision=precision,
             preferred_element_type=jnp.float32,
         )
@@ -147,59 +215,80 @@ def _make_window_kernel(J, precision):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m", "n", "W", "J", "precision", "interpret")
-)
-def _windowed_pallas(A, win_flat, B, *, m, n, W, J, precision, interpret):
-    P, TM, JW = A.shape
-    k = B.shape[1]
-    nblk = max(-(-n // W), 1)
-    B_pad = jnp.zeros(((nblk + 1) * W, k), jnp.float32).at[:n].set(B)
+def _window_pallas(first, out_panel, win_step, A, B_pad, *, n_panels, W, k,
+                   precision, interpret):
+    """grid = (total_steps,); per step one (TM, G·W)x(G·W, k) MXU dot
+    accumulated into the panel's output block (consecutive steps share
+    the block; `first` re-initialises it)."""
+    total_steps, TM, GW = A.shape
 
-    def b_spec(j):
+    def b_spec(gi):
         return pl.BlockSpec(
-            (W, k), lambda p, w, j=j: (w[p * J + j], 0),
+            (W, k), lambda s, f, op, ws, gi=gi: (ws[s * G + gi], 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(P,),
+        num_scalar_prefetch=3,
+        grid=(total_steps,),
         in_specs=[
-            pl.BlockSpec((1, TM, JW), lambda p, w: (p, 0, 0),
+            pl.BlockSpec((1, TM, GW), lambda s, f, op, ws: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            *[b_spec(j) for j in range(J)],
+            *[b_spec(gi) for gi in range(G)],
         ],
-        out_specs=pl.BlockSpec((TM, k), lambda p, w: (p, 0),
+        out_specs=pl.BlockSpec((TM, k), lambda s, f, op, ws: (op[s], 0),
                                memory_space=pltpu.VMEM),
     )
-    out = pl.pallas_call(
-        _make_window_kernel(J, precision),
+    return pl.pallas_call(
+        _make_window_kernel(precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P * TM, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_panels * TM, k), jnp.float32),
         interpret=interpret,
-    )(win_flat, A, *([B_pad] * J))
-    return out[:m]
+    )(first, out_panel, win_step, A, *([B_pad] * G))
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "precision"))
-def _windowed_xla(A, win_flat, B, *, layout, precision):
-    """XLA fallback formulation (2D-index window take + batched einsum) —
-    the baseline the Pallas kernel must beat, same trick as
-    pallas_band._band_spmm_xla."""
-    m, n, W, J = layout
-    P, TM, JW = A.shape
-    k = B.shape[1]
-    nblk = max(-(-n // W), 1)
-    B_pad = jnp.zeros(((nblk + 1) * W, k), jnp.float32).at[:n].set(B)
-    idx = (win_flat.reshape(P, J)[:, :, None] * W
+def _window_xla(win_step, A, B_pad, out_panel_np, *, n_panels, W, k,
+                precision):
+    """XLA fallback formulation (2D-index window take + batched einsum,
+    then a segment-style accumulation over each panel's steps) — the
+    baseline the Pallas path must beat."""
+    total_steps, TM, GW = A.shape
+    idx = (win_step.reshape(total_steps, G)[:, :, None] * W
            + jnp.arange(W, dtype=jnp.int32)[None, None, :])
-    Bw = B_pad[idx.reshape(P, J * W)]  # [P, J*W, k]
-    out = jnp.einsum(
-        "ptw,pwk->ptk", A, Bw, precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(P * TM, k)[:m]
+    Bw = B_pad[idx.reshape(total_steps, GW)]  # [S, G*W, k]
+    out = jnp.einsum("stw,swk->stk", A, Bw, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(out, out_panel_np, num_segments=n_panels
+                               ).reshape(n_panels * TM, k)
+
+
+@jax.jit
+def _windowed_call(plan: "WindowedPlan", B):
+    """Whole hybrid call under ONE jit (plan is a registered pytree passed
+    as an argument — never closed over, per docs/measurements.md)."""
+    k = B.shape[1]
+    W = plan.W
+    nblk = max(-(-plan.n // W), 1)
+    n_panels = plan.n_used_panels
+    if plan.A.shape[0]:
+        B_pad = jnp.zeros(((nblk + 1) * W, k), jnp.float32).at[
+            : plan.n].set(B)
+        if plan.impl == "xla":
+            out = _window_xla(plan.win_step, plan.A, B_pad, plan.out_panel,
+                              n_panels=n_panels, W=W, k=k,
+                              precision=plan.precision)
+        else:
+            out = _window_pallas(plan.first, plan.out_panel, plan.win_step,
+                                 plan.A, B_pad, n_panels=n_panels, W=W, k=k,
+                                 precision=plan.precision,
+                                 interpret=plan.interpret)
+        cat = jnp.concatenate([out, jnp.zeros((1, k), jnp.float32)], axis=0)
+        dense = cat[plan.row_gather][: plan.m]
+    else:
+        dense = jnp.zeros((plan.m, k), jnp.float32)
+    if plan.ell.nnz == 0:
+        return dense
+    return dense + plan.ell(B)
 
 
 @dataclasses.dataclass
@@ -209,9 +298,12 @@ class WindowedPlan:
     n: int
     tm: int
     W: int
-    J: int
-    A: Any               # f32 [P, TM, J*W]
-    win_flat: Any        # i32 [P*J] block ids (sentinel = nblk)
+    n_used_panels: int
+    A: Any               # f32 [total_steps, TM, G*W]
+    first: Any           # i32 [total_steps]
+    out_panel: Any       # i32 [total_steps]
+    win_step: Any        # i32 [total_steps*G] block ids (sentinel = nblk)
+    row_gather: Any      # i32 [P*TM] output-assembly permutation
     ell: EllPlan         # residue
     coverage: float
     interpret: bool
@@ -219,20 +311,7 @@ class WindowedPlan:
     precision: Any = jax.lax.Precision.HIGHEST
 
     def __call__(self, B) -> jax.Array:
-        if self.impl == "xla":
-            dense = _windowed_xla(
-                self.A, self.win_flat, B,
-                layout=(self.m, self.n, self.W, self.J),
-                precision=self.precision,
-            )
-        else:
-            dense = _windowed_pallas(
-                self.A, self.win_flat, B, m=self.m, n=self.n, W=self.W,
-                J=self.J, precision=self.precision, interpret=self.interpret,
-            )
-        if self.ell.nnz == 0:
-            return dense
-        return dense + self.ell(B)
+        return _windowed_call(self, B)
 
     @property
     def b_dtype(self) -> str:
@@ -243,19 +322,33 @@ class WindowedPlan:
         return {
             "coverage": round(self.coverage, 4),
             "dense_bytes": int(np.prod(self.A.shape)) * 4,
+            "n_steps": int(self.A.shape[0]),
             "n_res": self.ell.nnz,
-            "J": self.J,
             "W": self.W,
             "impl": self.impl,
         }
+
+    def traffic_model(self, k: int) -> dict:
+        """Byte model: dense windowed A read once; per window slot one
+        (W, k) B block DMA (upper bound — ascending-sorted windows let
+        Pallas skip the DMA when a slot's block id repeats); output
+        assembled by one m-row take; plus the ELL residue chain.  NB: on
+        this chip the dense part is usually MXU-HIGHEST-bound, not
+        byte-bound (docs/measurements.md)."""
+        st = self.stats
+        by = (st["dense_bytes"]
+              + st["n_steps"] * G * self.W * k * 4
+              + 3 * self.m * k * 4)
+        res = self.ell.traffic_model(k) if self.ell.nnz else {"bytes": 0}
+        return {"bytes": int(by) + res["bytes"]}
 
 
 def prepare_windowed(
     g: CSRGraph,
     dev: DeviceCSR | None = None,
     tm: int = 256,
-    W: int = 256,
-    J: int = 16,
+    W: int = 128,
+    J: int = 1024,
     min_count: int = 128,
     min_coverage: float = 0.15,
     max_dense_bytes: int = 6 << 30,
@@ -273,7 +366,7 @@ def prepare_windowed(
         interpret = jax.default_backend() == "cpu"
     if sel is None:
         sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count)
-    if sel["dense_bytes"] > max_dense_bytes:
+    if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
         raise ValueError(
             f"windowed dense array too big: {sel['dense_bytes']/1e9:.2f} GB")
     if sel["coverage"] < min_coverage:
@@ -283,9 +376,24 @@ def prepare_windowed(
 
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
     A, res_col, res_vals = _build_windowed(
-        dev.row_ptr, dev.col, dev.vals, jnp.asarray(sel["slot"]),
-        layout=(g.nnz, P, tm, W, J, nblk, n_res),
+        dev.row_ptr, dev.col, dev.vals,
+        jnp.asarray(sel["slot"]),
+        jnp.asarray(sel["pstep0"].astype(np.int32)),
+        layout=(g.nnz, tm, W, nblk, n_res, sel["total_steps"]),
     )
+
+    # output assembly: graph row r of panel p lives at concat row
+    # dense_index(p)*TM + r%TM; panels with no windows point at the
+    # appended zero row.
+    used = sel["used"]
+    row_src = np.full(P, -1, dtype=np.int64)
+    row_src[used] = np.arange(len(used))
+    total_rows = len(used) * tm
+    rg = np.full(P * tm, total_rows, dtype=np.int64)
+    blockrows = (row_src[used][:, None] * tm
+                 + np.arange(tm, dtype=np.int64)[None, :])
+    rg[(used[:, None] * tm + np.arange(tm)[None, :]).ravel()] = \
+        blockrows.ravel()
 
     res_deg = sel["res_deg"]
     res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
@@ -296,11 +404,13 @@ def prepare_windowed(
                         m=g.m, n=g.n, nnz=n_res)
     ell = prepare_ell(g_res, dev=dev_res, b_dtype=b_dtype)
 
-    # windows sorted so duplicate/unused slots sit behind real ones
-    win_flat = jnp.asarray(np.ascontiguousarray(sel["win"].ravel()))
     return WindowedPlan(
-        m=g.m, n=g.n, tm=tm, W=W, J=J, A=A, win_flat=win_flat, ell=ell,
-        coverage=sel["coverage"], interpret=interpret, impl=impl,
+        m=g.m, n=g.n, tm=tm, W=W, n_used_panels=len(used), A=A,
+        first=jnp.asarray(sel["first"]),
+        out_panel=jnp.asarray(sel["out_panel"]),
+        win_step=jnp.asarray(sel["win_step"]),
+        row_gather=jnp.asarray(rg.astype(np.int32)),
+        ell=ell, coverage=sel["coverage"], interpret=interpret, impl=impl,
     )
 
 
@@ -309,14 +419,17 @@ def spmm_windowed(g: CSRGraph, B, **kwargs):
 
 
 def _win_flatten(p: WindowedPlan):
-    return (p.A, p.win_flat, p.ell), (
-        p.m, p.n, p.tm, p.W, p.J, p.coverage, p.interpret, p.impl, p.precision)
+    return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell), (
+        p.m, p.n, p.tm, p.W, p.n_used_panels, p.coverage, p.interpret,
+        p.impl, p.precision)
 
 
 def _win_unflatten(aux, children):
-    m, n, tm, W, J, coverage, interpret, impl, precision = aux
-    return WindowedPlan(m=m, n=n, tm=tm, W=W, J=J, A=children[0],
-                        win_flat=children[1], ell=children[2],
+    m, n, tm, W, n_used, coverage, interpret, impl, precision = aux
+    return WindowedPlan(m=m, n=n, tm=tm, W=W, n_used_panels=n_used,
+                        A=children[0], first=children[1],
+                        out_panel=children[2], win_step=children[3],
+                        row_gather=children[4], ell=children[5],
                         coverage=coverage, interpret=interpret, impl=impl,
                         precision=precision)
 

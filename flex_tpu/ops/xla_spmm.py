@@ -51,6 +51,12 @@ class XLASpmmPlan:
     def flops(self) -> int:
         return 2 * int(self.vals.shape[0])  # per feature column
 
+    def traffic_model(self, k: int) -> dict:
+        """Byte model: take materialises [E, k], the multiply reads+writes
+        it, segment_sum reads it again; C written once."""
+        E = int(self.vals.shape[0])
+        return {"bytes": 4 * E * k * 4 + self.m * k * 4, "gathered_rows": E}
+
 
 def prepare_xla(g: CSRGraph, pad_multiple: int = 1024) -> XLASpmmPlan:
     E = g.nnz

@@ -2,11 +2,27 @@
 
 Design (SURVEY.md §5.8): A is split into contiguous row shards balanced by
 nnz; each device holds its shard in the width-bucketed ELL format and
-computes its C rows locally against a replicated B — no inter-chip
-reduction is needed because row ownership is exclusive by construction
-(the multi-chip re-statement of the reference's "no atomics when a row is
-wholly owned" rule, ``mat.cu:816-825``).  B is replicated here; an
-all-gather variant only pays when B stops fitting per-chip.
+computes its C rows locally — no inter-chip reduction is needed because
+row ownership is exclusive by construction (the multi-chip re-statement of
+the reference's "no atomics when a row is wholly owned" rule,
+``mat.cu:816-825``).
+
+Two B layouts (``b_layout``):
+
+- ``"replicated"`` (default): every chip holds full B; zero collective
+  traffic per call.  Right when B is produced replicated (inference
+  features) and fits per-chip HBM: resident n·k·4 bytes per chip.
+- ``"gathered"``: B is column-sharded P(None, axis) — each chip holds
+  n·k/D·4 bytes — and the kernel opens with one
+  ``jax.lax.all_gather(..., tiled=True)`` over the ICI axis, costing
+  n·k·4·(D-1)/D bytes of ICI traffic per call.  Right when B arrives
+  column-sharded from a tensor-parallel producer (H = X·W with W
+  column-sharded, cf. ``parallel/gcn_sharded.py``) or when full B stops
+  fitting per-chip.  Crossover byte model: replicated wins on traffic
+  whenever B is already replicated (ICI cost 0 vs (D-1)/D·n·k·4); with a
+  column-sharded producer both layouts move the same bytes (the
+  replicated layout would need the same all-gather *outside* the op) and
+  "gathered" additionally shrinks per-chip residency by D×.
 
 Every shard shares one static program (same bucket shapes, padded to the
 max over shards), as `shard_map` requires.
@@ -50,14 +66,20 @@ class ShardedEllPlan:
     chunk_row: Any        # [D, n_chunks_pad] sharded dim 0
     nnz: int
     padded_nnz: int
+    b_layout: str = "replicated"
     fn: Any = None
 
     def __call__(self, B) -> jax.Array:
         if self.fn is None:
             m_pad = self.m_shard_pad
             ax = self.axis
+            gathered = self.b_layout == "gathered"
 
             def local(buckets, chunk_row, B):
+                if gathered:
+                    # B arrives column-sharded [n, k/D]; reassemble the
+                    # full feature matrix over ICI (XLA all-gather).
+                    B = jax.lax.all_gather(B, ax, axis=1, tiled=True)
                 local_buckets = tuple((c[0], v[0]) for c, v in buckets)
                 return _ell_spmm(
                     local_buckets, chunk_row[0], B,
@@ -70,7 +92,8 @@ class ShardedEllPlan:
             )
             mapped = jax.shard_map(
                 local, mesh=self.mesh,
-                in_specs=(bucket_specs, P(ax, None), P(None, None)),
+                in_specs=(bucket_specs, P(ax, None),
+                          P(None, ax) if gathered else P(None, None)),
                 out_specs=P(ax, None, None),
             )
             bounds = self.row_bounds
@@ -93,22 +116,29 @@ class ShardedEllPlan:
             "padded_nnz": self.padded_nnz,
             "pad_ratio": self.padded_nnz / max(self.nnz, 1),
             "bucket_shapes": [c.shape for c, _ in self.buckets],
+            "b_layout": self.b_layout,
         }
+
+    def ici_bytes_per_call(self, n: int, k: int) -> int:
+        """Collective traffic of one call under the current B layout."""
+        D = len(self.row_bounds)
+        return 0 if self.b_layout == "replicated" \
+            else n * k * 4 * (D - 1) // D
 
 
 def _sharded_flatten(p: ShardedEllPlan):
     children = (p.buckets, p.chunk_row)
     aux = (p.mesh, p.axis, p.m, tuple(p.row_bounds), p.m_shard_pad, p.nnz,
-           p.padded_nnz)
+           p.padded_nnz, p.b_layout)
     return children, aux
 
 
 def _sharded_unflatten(aux, children):
-    mesh, axis, m, bounds, m_pad, nnz, padded = aux
+    mesh, axis, m, bounds, m_pad, nnz, padded, b_layout = aux
     return ShardedEllPlan(
         mesh=mesh, axis=axis, m=m, row_bounds=list(bounds),
         m_shard_pad=m_pad, buckets=children[0], chunk_row=children[1],
-        nnz=nnz, padded_nnz=padded,
+        nnz=nnz, padded_nnz=padded, b_layout=b_layout,
     )
 
 
@@ -122,7 +152,10 @@ def prepare_ell_sharded(
     mesh: Mesh,
     axis: str | None = None,
     widths: tuple[int, ...] = SHARDED_WIDTHS,
+    b_layout: str = "replicated",
 ) -> ShardedEllPlan:
+    if b_layout not in ("replicated", "gathered"):
+        raise ValueError(f"unknown b_layout {b_layout!r}")
     axis = axis or mesh.axis_names[0]
     D = mesh.shape[axis]
     bounds = _split_rows_by_nnz(g, D)
@@ -193,5 +226,5 @@ def prepare_ell_sharded(
         m_shard_pad=max(r1 - r0 for r0, r1 in bounds),
         buckets=buckets,
         chunk_row=jax.device_put(chunk_row, sh2),
-        nnz=g.nnz, padded_nnz=padded,
+        nnz=g.nnz, padded_nnz=padded, b_layout=b_layout,
     )

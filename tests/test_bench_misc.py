@@ -36,6 +36,37 @@ def test_stage_timer():
     assert "a" in rep and "total" in rep
 
 
+def test_traffic_model_columns(small_rmat):
+    """Every measured bench row carries the byte-model analytics (the
+    reference's NPerf-joined report columns, flex.cu:5505-5688)."""
+    from flex_tpu.bench.harness import bench_spmm
+
+    for method in ("ell", "xla"):
+        r = bench_spmm(small_rmat, 8, method=method, iters=1, check=False)
+        row = r.row()
+        assert row["model_gb"] > 0
+        assert row["ai_model"] > 0
+        assert row["hbm_frac"] > 0
+        assert row["b_reuse"] > 0
+    # ELL gathers per-nnz (padded): reuse ≤ 1; xla gathers exactly nnz-ish
+    assert r.extra["b_reuse"] <= 1.0
+
+
+def test_trace_context(tmp_path, small_rmat):
+    """utils.trace.trace() wired through bench_spmm --trace produces a
+    profiler trace directory (works on CPU too)."""
+    import os
+
+    from flex_tpu.bench.harness import bench_spmm
+
+    td = str(tmp_path / "trace")
+    r = bench_spmm(small_rmat, 8, method="ell", iters=1, check=False,
+                   trace_dir=td)
+    assert r.extra["trace_dir"] == td
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(td) for f in fs]
+    assert found, "trace directory is empty"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 

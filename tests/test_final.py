@@ -25,6 +25,24 @@ def test_autotune_measured(small_rmat):
     assert results[0].t_elap <= results[1].t_elap
 
 
+def test_cli_order_file(capsys, tmp_path):
+    """--order-file persists the ordering on first run and reloads it on
+    the second (reference inout.cu:20-37)."""
+    from flex_tpu.cli import main
+
+    of = tmp_path / "ord.npy"
+    rc = main(["/root/reference/data/a_mat.csv", "8", "--order=rcm",
+               "--method=ell", "--iters=1", f"--order-file={of}"])
+    assert rc == 0
+    assert of.exists()
+    out1 = capsys.readouterr().out
+    assert "saved ordering" in out1
+    rc = main(["/root/reference/data/a_mat.csv", "8", "--order=rcm",
+               "--method=ell", "--iters=1", f"--order-file={of}"])
+    assert rc == 0
+    assert "loading ordering" in capsys.readouterr().out
+
+
 def test_order_io_roundtrip(tmp_path, a_mat):
     from flex_tpu.reorder import compute_order
     from flex_tpu.reorder.inout import load_order, save_order

@@ -26,6 +26,27 @@ def test_sharded_matches_scipy(small_rmat, n_dev):
 
 
 @needs_8dev
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_allgather_b(small_rmat, n_dev):
+    """b_layout="gathered": B column-sharded, reassembled per-chip by one
+    all_gather over the mesh axis (spmm_sharded module docstring's
+    crossover model); must match both SciPy and the replicated-B path."""
+    mesh = make_mesh(n_dev)
+    plan = prepare_ell_sharded(small_rmat, mesh, b_layout="gathered")
+    assert plan.stats["b_layout"] == "gathered"
+    k = 16
+    B = make_features(small_rmat, k)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(small_rmat, B), C, small_rmat.degrees)
+    assert chk.ok, f"{n_dev} devices: {chk}"
+
+    rep = prepare_ell_sharded(small_rmat, mesh)
+    np.testing.assert_allclose(C, np.asarray(rep(jnp.asarray(B))), rtol=1e-6)
+    assert plan.ici_bytes_per_call(small_rmat.n, k) > 0
+    assert rep.ici_bytes_per_call(small_rmat.n, k) == 0
+
+
+@needs_8dev
 def test_sharded_pubmed(pubmed):
     mesh = make_mesh(8)
     plan = prepare_ell_sharded(pubmed, mesh)

@@ -77,5 +77,28 @@ def test_window_select_stats():
     assert sel["n_res"] == g.nnz - round(sel["coverage"] * g.nnz)
     assert (sel["res_deg"] >= 0).all()
     assert sel["res_deg"].sum() == sel["n_res"]
-    # sentinel only in invalid slots
-    assert sel["win"].max() <= sel["nblk"]
+    # step layout invariants
+    S = sel["total_steps"]
+    assert sel["win_step"].shape == (S * 4,)
+    assert sel["win_step"].max() <= sel["nblk"]  # sentinel only in pads
+    assert sel["first"].sum() == sel["n_used_panels"]
+    assert sel["out_panel"].max() + 1 == sel["n_used_panels"] if S else True
+    # per-panel kept windows sorted ascending (sentinels trail each panel)
+    ws = sel["win_step"].reshape(S, 4)
+    real = ws < sel["nblk"]
+    assert (np.diff(ws, axis=1) >= 0)[real[:, 1:]].all()
+
+
+def test_windowed_variable_steps():
+    """Panels own variable numbers of G-window steps; the fat tail beyond
+    the J cap is truncated to residue and the hybrid still matches."""
+    g = community_graph(4096, 400_000, n_comm=3, seed=3, shuffle=False)
+    g = reorder(g, "rbdeg", check=False)
+    sel = window_select(g, tm=128, W=128, J=256, min_count=8)
+    steps_per = np.bincount(sel["out_panel"])
+    assert steps_per.min() >= 1 and steps_per.max() > steps_per.min()
+    plan = prepare_windowed(g, tm=128, W=128, J=256, min_count=8)
+    B = make_features(g, 16)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{chk} stats={plan.stats}"
