@@ -86,8 +86,11 @@ def suggest(
     sel = window_select(g, **win_kwargs)
     if sel["coverage"] >= 0.15:
         n_win = sel["total_steps"] * G
+        # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
+        # pad ratio (exact per-row degrees are only computed on device)
         model["windowed"] = (n_win * WIN_US_PER_WINDOW
-                             + _t_ell(sel["res_deg"]) + FIXED_OVERHEAD)
+                             + sel["n_res"] * 1.12 * ELL_NS_PER_PAD
+                             + FIXED_OVERHEAD)
 
     # panel: dense-A over per-panel deduplicated columns + hub row-split.
     # Pays only when B-reuse is high AND the dense tail stays small —

@@ -86,6 +86,10 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
         return jnp.zeros((m, k), jnp.float32)
     if b_dtype != "float32":
         B = B.astype(b_dtype)
+    # NB: concat-then-one-scatter measured FASTER than per-sub-batch
+    # scatter-adds into C (49.7 vs 60.3 ms on the reddit_posts residue —
+    # XLA fuses the multiply-reduce into the concat better than into many
+    # small scatters).
     parts = []
     for cols, vals in buckets:
         N, w = cols.shape

@@ -44,14 +44,22 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _rows_from_ptr(dev_row_ptr, nnz, m):
+    """Recover per-nnz row ids from row_ptr with the indicator-cumsum
+    trick (searchsorted over nnz is ~200x slower on this chip —
+    docs/measurements.md)."""
+    ind = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[1:m]].add(
+        1, mode="drop")
+    return jnp.cumsum(ind)
+
+
 @functools.partial(jax.jit, static_argnames=("layout",))
 def _build_band(dev_row_ptr, dev_col, dev_vals, ws_rows, *, layout):
     """Dense band [P, TM, W] (for impl="xla"/"pallas").
     .add (not .set) so duplicate (row, col) entries sum like every other
     kernel / the scipy gold."""
-    nnz, P, TM, W = layout
-    e = jnp.arange(nnz, dtype=jnp.int32)
-    rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
+    nnz, m, P, TM, W = layout
+    rows = _rows_from_ptr(dev_row_ptr, nnz, m)
     c_loc = dev_col - ws_rows[rows]
     flat = (rows // TM) * (TM * W) + (rows % TM) * W + c_loc
     band = jnp.zeros((P * TM * W,), jnp.float32).at[flat].add(dev_vals)
@@ -63,9 +71,8 @@ def _build_split_band(dev_row_ptr, dev_col, dev_vals, iW_rows, *, layout):
     """A_left/A_right [P, TM, W] for impl="pallas2": nnz at col c of panel p
     goes left if c < W·(i_p+1) at offset c − W·i_p, else right at
     c − W·(i_p+1)."""
-    nnz, P, TM, W = layout
-    e = jnp.arange(nnz, dtype=jnp.int32)
-    rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
+    nnz, m, P, TM, W = layout
+    rows = _rows_from_ptr(dev_row_ptr, nnz, m)
     c_loc = dev_col - iW_rows[rows] * W
     is_left = c_loc < W
     flat_panel = (rows // TM) * (TM * W) + (rows % TM) * W
@@ -304,14 +311,14 @@ def prepare_band(
         iW_rows = jnp.asarray(iW[row_panel].astype(np.int32))
         band = _build_split_band(
             dev.row_ptr, dev.col, dev.vals, iW_rows,
-            layout=(g.nnz, P, tm, w_pad),
+            layout=(g.nnz, g.m, P, tm, w_pad),
         )
         ws_arg = jnp.asarray(iW)
     else:
         ws_rows = ws[row_panel].astype(np.int32)
         band = _build_band(
             dev.row_ptr, dev.col, dev.vals, jnp.asarray(ws_rows),
-            layout=(g.nnz, P, tm, w_pad),
+            layout=(g.nnz, g.m, P, tm, w_pad),
         )
         ws_arg = jnp.asarray((ws // 128).astype(np.int32))
     return BandPlan(

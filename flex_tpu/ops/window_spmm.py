@@ -64,12 +64,40 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
+                      nblk: int) -> np.ndarray:
+    """nnz count per (row panel, column block) — the only O(nnz) pass of
+    window selection.  Runs on device when the CSR is already resident
+    (one cumsum + one scatter-add ≈ 0.3 s at reddit scale vs ~1 s of
+    host bincount traffic; searchsorted is 200x slower than the
+    indicator-cumsum row recovery — docs/measurements.md)."""
+    if dev is not None:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("shape",))
+        def hist(row_ptr, col, *, shape):
+            nnz, m_, tm_, W_, nblk_ = shape
+            ind = jnp.zeros((nnz,), jnp.int32).at[row_ptr[1:m_]].add(
+                1, mode="drop")
+            rows = jnp.cumsum(ind)
+            key = (rows // tm_) * nblk_ + col // W_
+            return jnp.zeros((P * nblk_,), jnp.int32).at[key].add(1)
+
+        return np.asarray(hist(dev.row_ptr, dev.col,
+                               shape=(g.nnz, g.m, tm, W, nblk))
+                          ).astype(np.int64).reshape(P, nblk)
+    rows = np.repeat(np.arange(g.m, dtype=np.int32), g.degrees)
+    key = (rows // tm) * np.int32(nblk) + g.col.astype(np.int32) // W
+    return np.bincount(key, minlength=P * nblk).reshape(P, nblk)
+
+
 def window_select(
     g: CSRGraph, tm: int = 256, W: int = 128, J: int = 1024,
-    min_count: int = 128,
+    min_count: int = 128, dev=None,
 ) -> dict:
-    """Host-side window selection + step layout (shared with the
-    autotuner so eligibility and the built format can't drift).
+    """Window selection + step layout (shared with the autotuner so
+    eligibility and the built format can't drift).
 
     Per panel: every W-aligned column block with ≥ ``min_count`` nnz is a
     window; a panel with more than ``J`` keeps the top ones by count.
@@ -81,20 +109,17 @@ def window_select(
       out_panel  int32[total_steps]   dense output-panel index per step
       first      int32[total_steps]   1 on a panel's first step
       pstep0     int64[P]             panel -> first step (-1 if none)
-      slot       int32[P*nblk]        0 = residue, j+1 = window slot j
+      slot       int16[P*nblk]        0 = residue, j+1 = window slot j
       coverage   float                fraction of nnz inside kept windows
-      res_deg    int64[m]             residue degree per row
       a_elems, dense_bytes, total_steps, n_used_panels, P, nblk, n_res
-    O(nnz + P·nblk) host work, all vectorised except the rare fat-panel
-    truncation loop.
+    One O(nnz) pass (device-side when ``dev`` is given); everything else
+    operates on the (P, nblk) count matrix.  Per-row residue degrees are
+    computed by the device build, not here.
     """
     m, nnz = g.m, g.nnz
     P = max(-(-m // tm), 1)
     nblk = max(-(-g.n // W), 1)
-
-    rows = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
-    key = (rows // tm) * nblk + (g.col.astype(np.int64) // W)
-    cnt = np.bincount(key, minlength=P * nblk).reshape(P, nblk)
+    cnt = _panel_block_hist(g, dev, tm, W, P, nblk)
 
     valid = cnt >= max(min_count, 1)
     nb_per = valid.sum(axis=1)
@@ -120,7 +145,7 @@ def window_select(
 
     # per-used-panel sorted window ids -> flat win_step with sentinel pads
     win_step = np.full(total_steps * G, nblk, dtype=np.int32)
-    slot = np.zeros(P * nblk, dtype=np.int32)
+    slot = np.zeros(P * nblk, dtype=np.int16)  # slot values ≤ J+1 ≤ 2^15
     if len(used):
         idsm = np.where(valid[used], np.arange(nblk, dtype=np.int64)[None, :],
                         np.int64(nblk))
@@ -133,12 +158,9 @@ def window_select(
         flat_slot = (step_starts[uu[real]] * G + jj[real])
         win_step[flat_slot] = idsm[real].astype(np.int32)
         slot[used[uu[real]] * nblk + idsm[real]] = (jj[real] + 1).astype(
-            np.int32)
+            np.int16)
 
-    j1 = slot[key]
-    hit = j1 > 0
-    covered = int(hit.sum())
-    res_deg = g.degrees - np.bincount(rows[hit], minlength=m)
+    covered = int(cnt[valid].sum())
     a_elems = total_steps * tm * G * W
     return {
         "win_step": win_step,
@@ -149,7 +171,6 @@ def window_select(
         "used": used,
         "coverage": covered / max(nnz, 1),
         "n_res": nnz - covered,
-        "res_deg": res_deg,
         "a_elems": a_elems,
         "dense_bytes": a_elems * 4,
         "total_steps": total_steps,
@@ -168,17 +189,22 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     pstep0[p] + j//G at in-step slot j%G, i.e. flat element
     (pstep0[p] + j//G)·(TM·G·W) + (row%TM)·(G·W) + (j%G)·W + col%W.
 
-    Returns (A [total_steps, TM, G*W], res_col, res_vals); residue
-    entries keep CSR order, so the ELL builder's contiguous-slice layout
-    stays valid.
+    Rows are recovered from row_ptr with the indicator-cumsum trick
+    (searchsorted over nnz is ~200x slower on this chip —
+    docs/measurements.md).
+
+    Returns (A [total_steps, TM, G*W], res_col, res_vals, res_deg);
+    residue entries keep CSR order, so the ELL builder's
+    contiguous-slice layout stays valid.
     """
-    nnz, TM, W, nblk, n_res, total_steps = layout
+    nnz, m, TM, W, nblk, n_res, total_steps = layout
     a_elems = total_steps * TM * G * W
-    e = jnp.arange(nnz, dtype=jnp.int32)
-    rows = jnp.searchsorted(dev_row_ptr, e, side="right").astype(jnp.int32) - 1
+    ind = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[1:m]].add(
+        1, mode="drop")
+    rows = jnp.cumsum(ind)
     p = rows // TM
     blk = dev_col // W
-    j1 = slot_tab[p * nblk + blk]
+    j1 = slot_tab[p * nblk + blk].astype(jnp.int32)
     hit = j1 > 0
     j = j1 - 1
 
@@ -194,7 +220,8 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     pos = jnp.where(hit, n_res, res_pos)
     res_col = jnp.zeros((n_res + 1,), jnp.int32).at[pos].set(dev_col)[:n_res]
     res_vals = jnp.zeros((n_res + 1,), jnp.float32).at[pos].set(dev_vals)[:n_res]
-    return A, res_col, res_vals
+    res_deg = jnp.zeros((m,), jnp.int32).at[rows].add((~hit).astype(jnp.int32))
+    return A, res_col, res_vals, res_deg
 
 
 def _make_window_kernel(precision):
@@ -365,7 +392,7 @@ def prepare_windowed(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if sel is None:
-        sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count)
+        sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count, dev=dev)
     if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
         raise ValueError(
             f"windowed dense array too big: {sel['dense_bytes']/1e9:.2f} GB")
@@ -375,11 +402,11 @@ def prepare_windowed(
             f"use 'ell' (or apply a clustering ordering like rbdeg first)")
 
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
-    A, res_col, res_vals = _build_windowed(
+    A, res_col, res_vals, res_deg_dev = _build_windowed(
         dev.row_ptr, dev.col, dev.vals,
         jnp.asarray(sel["slot"]),
         jnp.asarray(sel["pstep0"].astype(np.int32)),
-        layout=(g.nnz, tm, W, nblk, n_res, sel["total_steps"]),
+        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"]),
     )
 
     # output assembly: graph row r of panel p lives at concat row
@@ -395,7 +422,7 @@ def prepare_windowed(
     rg[(used[:, None] * tm + np.arange(tm)[None, :]).ravel()] = \
         blockrows.ravel()
 
-    res_deg = sel["res_deg"]
+    res_deg = np.asarray(res_deg_dev).astype(np.int64)
     res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
     np.cumsum(res_deg, out=res_row_ptr[1:])
     g_res = SimpleNamespace(m=g.m, n=g.n, nnz=n_res, row_ptr=res_row_ptr,

@@ -75,8 +75,6 @@ def test_window_select_stats():
     sel = window_select(g, tm=256, W=128, J=4, min_count=16)
     assert 0 < sel["coverage"] <= 1.0
     assert sel["n_res"] == g.nnz - round(sel["coverage"] * g.nnz)
-    assert (sel["res_deg"] >= 0).all()
-    assert sel["res_deg"].sum() == sel["n_res"]
     # step layout invariants
     S = sel["total_steps"]
     assert sel["win_step"].shape == (S * 4,)
