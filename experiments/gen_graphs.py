@@ -15,8 +15,8 @@ import numpy as np
 from flex_tpu.io import synth
 from flex_tpu.reorder import reorder
 
-GRAPHS = [a for a in sys.argv[1:] if a.startswith("reddit") or a.endswith("_like")]
-ORDERS = [a for a in sys.argv[1:] if not (a.startswith("reddit") or a.endswith("_like"))]
+GRAPHS = [a for a in sys.argv[1:] if hasattr(synth, a)]
+ORDERS = [a for a in sys.argv[1:] if not hasattr(synth, a)]
 GRAPHS = GRAPHS or ["reddit_posts", "reddit_comm"]
 ORDERS = ORDERS or ["rbdeg", "deg"]
 

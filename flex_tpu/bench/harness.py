@@ -234,9 +234,19 @@ def sweep(
     for order in orders:
         g_ord = reorder(g, order, check=False) if order != "ovo" else g
         for k in ks:
+            gold = None
+            if check:  # one SciPy gold per (ordering, k), shared by configs
+                from flex_tpu.io.csv_loader import make_features
+                from flex_tpu.ops import ref as _ref
+
+                B = make_features(g_ord, k)
+                gold = _ref.spmm_scipy(g_ord, B)
             for method in methods:
                 for tm in (tms if method in _TM_METHODS else (None,)):
                     kw = {"tm": tm} if tm is not None else {}
+                    if check:
+                        kw["B"] = B
+                        kw["gold"] = gold
                     try:
                         r = bench_spmm(g_ord, k, method=method, check=check,
                                        iters=iters, **kw)

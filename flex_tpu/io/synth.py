@@ -390,6 +390,22 @@ def reddit_posts(seed: int = 0) -> CSRGraph:
     )
 
 
+def amazon_posts(seed: int = 0) -> CSRGraph:
+    """Amazon stand-in with community structure: co-purchase projection
+    (products linked when bought together — the documented construction
+    of the GNN Amazon/ogbn-products datasets), same union-of-cliques
+    process as :func:`reddit_posts`.  Sizes match the reference CSR
+    (1,569,960 nodes, 264,339,468 nnz); 47 communities (ogbn-products
+    class count), (1-cross)^2 ≈ 0.81 edge homophily (published
+    ogbn-products label homophily ~0.81); activity/popularity tails give
+    avg degree ~168 with a ~10K max.  Not tuned against any kernel."""
+    return bipartite_projection_graph(
+        1_569_960, 264_339_468, n_comm=47, cross=0.1,
+        act_mean=7.0, act_sigma=0.9, act_max=256, pop_sigma=1.5,
+        seed=seed, name="amazon_posts",
+    )
+
+
 def yelp_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(716_847, 13_954_819, seed=seed, name="yelp_like")
 

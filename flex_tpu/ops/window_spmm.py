@@ -242,8 +242,52 @@ def _make_window_kernel(precision):
     return kernel
 
 
+@functools.lru_cache(maxsize=64)
+def _window_pallas_vjp(n_panels, W, k, precision, interpret):
+    """custom_vjp wrapper around the Pallas forward: Pallas kernels have
+    no automatic transpose, so the backward is expressed in plain XLA —
+    g_A[s] = g_panel(s) · Bw(s)ᵀ and g_B = Σ windows A(s)ᵀ · g_panel(s)
+    scatter-added into the gathered window rows.  This is what lets GCN
+    training run on the windowed plan (autodiff w.r.t. B and A values;
+    the integer layout tables get no cotangent)."""
+
+    @jax.custom_vjp
+    def f(first, out_panel, win_step, A, B_pad):
+        return _window_pallas_raw(first, out_panel, win_step, A, B_pad,
+                                  n_panels=n_panels, W=W, k=k,
+                                  precision=precision, interpret=interpret)
+
+    def fwd(first, out_panel, win_step, A, B_pad):
+        return f(first, out_panel, win_step, A, B_pad), (
+            first, out_panel, win_step, A, B_pad)
+
+    def bwd(resid, g):
+        first, out_panel, win_step, A, B_pad = resid
+        S, TM, GW = A.shape
+        g_p = g.reshape(n_panels, TM, k)[out_panel]        # [S, TM, k]
+        rows_idx = (win_step[:, None] * W
+                    + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+        Bw = B_pad[rows_idx].reshape(S, GW, k)
+        g_A = jnp.einsum("stk,swk->stw", g_p, Bw, precision=precision,
+                         preferred_element_type=jnp.float32)
+        gw = jnp.einsum("stw,stk->swk", A, g_p, precision=precision,
+                        preferred_element_type=jnp.float32)
+        g_B_pad = jnp.zeros_like(B_pad).at[rows_idx].add(
+            gw.reshape(S * GW, k))
+        return (None, None, None, g_A, g_B_pad)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _window_pallas(first, out_panel, win_step, A, B_pad, *, n_panels, W, k,
                    precision, interpret):
+    return _window_pallas_vjp(n_panels, W, k, precision, interpret)(
+        first, out_panel, win_step, A, B_pad)
+
+
+def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
+                       W, k, precision, interpret):
     """grid = (total_steps,); per step one (TM, G·W)x(G·W, k) MXU dot
     accumulated into the panel's output block (consecutive steps share
     the block; `first` re-initialises it)."""

@@ -55,6 +55,32 @@ def test_gcn_training_reduces_loss(small_rmat):
     assert float(loss) < loss0, (float(loss), loss0)
 
 
+def test_gcn_training_on_windowed_plan():
+    """The headline windowed plan trains a GCN end-to-end: the Pallas
+    forward's custom VJP makes Â differentiable w.r.t. features."""
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.ops.window_spmm import prepare_windowed
+    from flex_tpu.reorder import reorder
+
+    g = reorder(community_graph(1500, 100_000, n_comm=3, seed=4), "rbdeg",
+                check=False)
+    plan = prepare_windowed(g, tm=256, W=128, J=8, min_count=8)
+    rng = np.random.default_rng(0)
+    model = GCN(d_in=8, d_hidden=16, n_classes=3, nnz=g.nnz)
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(make_features(g, 8))
+    y = jnp.asarray(rng.integers(0, 3, g.m).astype(np.int32))
+    mask = jnp.ones((g.m,), jnp.float32)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    step = make_train_step(model, plan, opt)
+    loss0 = float(gcn_loss(model, params, plan, X, y, mask))
+    for _ in range(10):
+        params, state, loss = step(params, state, X, y, mask)
+    assert float(loss) < loss0, (float(loss), loss0)
+
+
 def test_gcn_sharded_plan(small_rmat):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")

@@ -87,6 +87,28 @@ def test_window_select_stats():
     assert (np.diff(ws, axis=1) >= 0)[real[:, 1:]].all()
 
 
+def test_windowed_grad_matches_xla_impl():
+    """The custom VJP (Pallas forward, XLA backward) must agree with
+    autodiff through the einsum fallback and with the analytic Aᵀg."""
+    import jax
+
+    g = community_graph(2000, 150_000, n_comm=4, seed=9, shuffle=False)
+    B = jnp.asarray(make_features(g, 16))
+    co = jnp.asarray(np.random.default_rng(0).random((g.m, 16), np.float32))
+
+    grads = {}
+    for impl in ("pallas", "xla"):
+        plan = prepare_windowed(g, tm=256, W=128, J=8, min_count=8,
+                                impl=impl)
+        grads[impl] = jax.grad(lambda b: (plan(b) * co).sum())(B)
+    np.testing.assert_allclose(np.asarray(grads["pallas"]),
+                               np.asarray(grads["xla"]), rtol=2e-4,
+                               atol=1e-4)
+    analytic = g.to_scipy().T @ np.asarray(co)
+    np.testing.assert_allclose(np.asarray(grads["pallas"]), analytic,
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_windowed_variable_steps():
     """Panels own variable numbers of G-window steps; the fat tail beyond
     the J cap is truncated to residue and the hybrid still matches."""
