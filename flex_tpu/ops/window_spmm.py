@@ -143,22 +143,25 @@ def window_select(
     pstep0 = np.full(P, -1, dtype=np.int64)
     pstep0[used] = step_starts
 
-    # per-used-panel sorted window ids -> flat win_step with sentinel pads
+    # per-used-panel sorted window ids -> flat win_step with sentinel pads.
+    # np.nonzero walks `valid` row-major, so the (panel, block) pairs come
+    # out grouped by panel with blocks ascending — no sort needed (the
+    # previous per-panel sort over the full (P, nblk) matrix cost ~8 min
+    # at amazon scale).
     win_step = np.full(total_steps * G, nblk, dtype=np.int32)
     slot = np.zeros(P * nblk, dtype=np.int16)  # slot values ≤ J+1 ≤ 2^15
     if len(used):
-        idsm = np.where(valid[used], np.arange(nblk, dtype=np.int64)[None, :],
-                        np.int64(nblk))
-        idsm.sort(axis=1)
-        width = int(nb_per[used].max())
-        idsm = idsm[:, :width]
-        jj, uu = np.meshgrid(np.arange(width, dtype=np.int64),
-                             np.arange(len(used), dtype=np.int64))
-        real = idsm < nblk
-        flat_slot = (step_starts[uu[real]] * G + jj[real])
-        win_step[flat_slot] = idsm[real].astype(np.int32)
-        slot[used[uu[real]] * nblk + idsm[real]] = (jj[real] + 1).astype(
-            np.int16)
+        pw, bw = np.nonzero(valid)
+        # within-panel window index for each pair
+        panel_first = np.r_[True, np.diff(pw) != 0]
+        jj = np.arange(len(pw), dtype=np.int64) - np.repeat(
+            np.arange(len(pw), dtype=np.int64)[panel_first],
+            nb_per[pw[panel_first]])
+        dense_of_panel = np.full(P, -1, dtype=np.int64)
+        dense_of_panel[used] = np.arange(len(used))
+        flat_slot = step_starts[dense_of_panel[pw]] * G + jj
+        win_step[flat_slot] = bw.astype(np.int32)
+        slot[pw * nblk + bw] = (jj + 1).astype(np.int16)
 
     covered = int(cnt[valid].sum())
     a_elems = total_steps * tm * G * W

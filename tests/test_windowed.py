@@ -87,6 +87,20 @@ def test_window_select_stats():
     assert (np.diff(ws, axis=1) >= 0)[real[:, 1:]].all()
 
 
+def test_window_select_device_hist_matches_host():
+    """The device-side panel x block histogram path must produce the
+    identical selection/layout as the host bincount path."""
+    from flex_tpu.sparse.device import DeviceCSR
+
+    g = community_graph(3000, 200_000, n_comm=5, seed=6)
+    a = window_select(g, tm=256, W=128, min_count=32)
+    b = window_select(g, tm=256, W=128, min_count=32,
+                      dev=DeviceCSR.from_graph(g))
+    for key in ("win_step", "out_panel", "first", "pstep0", "slot", "used"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert a["coverage"] == b["coverage"]
+
+
 def test_windowed_grad_matches_xla_impl():
     """The custom VJP (Pallas forward, XLA backward) must agree with
     autodiff through the einsum fallback and with the analytic Aᵀg."""
