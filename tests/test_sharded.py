@@ -47,6 +47,44 @@ def test_sharded_allgather_b(small_rmat, n_dev):
 
 
 @needs_8dev
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_windowed_matches_scipy(n_dev):
+    """Row-sharded windowed hybrid (dense windows under shard_map + the
+    global residue on the sharded ELL path) matches SciPy and the
+    single-chip windowed plan."""
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.ops.window_spmm import prepare_windowed
+    from flex_tpu.parallel import prepare_windowed_sharded
+    from flex_tpu.reorder import reorder
+
+    g = reorder(community_graph(4000, 300_000, n_comm=4, seed=8), "rbdeg",
+                check=False)
+    mesh = make_mesh(n_dev)
+    plan = prepare_windowed_sharded(g, mesh, tm=256, W=128, min_count=16)
+    assert plan.stats["n_shards"] == n_dev
+    B = make_features(g, 16)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{n_dev} devices: {chk} stats={plan.stats}"
+
+    local = prepare_windowed(g, tm=256, W=128, min_count=16)
+    np.testing.assert_allclose(C, np.asarray(local(jnp.asarray(B))),
+                               rtol=1e-5, atol=1e-5)
+
+
+@needs_8dev
+def test_sharded_windowed_refuses_scattered():
+    from flex_tpu.io.synth import uniform_graph
+    from flex_tpu.parallel import prepare_windowed_sharded
+
+    # ~1 nnz per (256,128) block: no window clears min_count anywhere
+    g = uniform_graph(100_000, 300_000, seed=1)
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError):
+        prepare_windowed_sharded(g, mesh, min_count=64)
+
+
+@needs_8dev
 def test_sharded_pubmed(pubmed):
     mesh = make_mesh(8)
     plan = prepare_ell_sharded(pubmed, mesh)
