@@ -52,6 +52,7 @@ def _t_ell(degrees) -> float:
 def suggest(
     g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512,
     win_tm: int = 256, win_W: int = 128, win_min_count: int = 128,
+    dev=None,
 ) -> Suggestion:
     """Static time-model decision from format statistics (no device
     needed).  Candidates: xla (tiny graphs), band (contiguous windows),
@@ -83,8 +84,8 @@ def suggest(
     win_kwargs = {"tm": win_tm, "W": win_W, "min_count": win_min_count}
     from flex_tpu.ops.window_spmm import G, window_select
 
-    sel = window_select(g, **win_kwargs)
-    if sel["coverage"] >= 0.15:
+    sel = window_select(g, dev=dev, **win_kwargs)
+    if sel["coverage"] >= 0.15 and sel["dense_bytes"] <= (6 << 30):
         n_win = sel["total_steps"] * G
         # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
         # pad ratio (exact per-row degrees are only computed on device)

@@ -410,8 +410,39 @@ def yelp_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(716_847, 13_954_819, seed=seed, name="yelp_like")
 
 
+def yelp_comm(seed: int = 0) -> CSRGraph:
+    """Yelp stand-in with community structure: the GraphSAINT Yelp graph
+    is a user *friendship* network (716,847 users, avg degree ~19.5), so
+    the SBM generator fits better than a bipartite projection.
+    Calibration: sizes exact; 100 communities with Zipf sizes (Yelp's
+    100 business-category labels are multilabel, so the community count
+    is an assumption, documented here); intra_frac 0.7 (social networks'
+    typical assortativity; no published structural homophily for this
+    split — assumption, not tuned against any kernel)."""
+    return community_graph(
+        716_847, 13_954_819, n_comm=100, intra_frac=0.7,
+        deg_sigma=1.2, seed=seed, name="yelp_comm",
+    )
+
+
 def flickr_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(89_250, 989_006, seed=seed, name="flickr_like")
+
+
+def flickr_posts(seed: int = 0) -> CSRGraph:
+    """Flickr stand-in: the GraphSAINT Flickr graph links images sharing
+    properties (common tags/groups — a tag x image bipartite projection),
+    so the union-of-cliques generator applies.  Calibration: sizes exact
+    (89,250 nodes, 989,006 nnz, avg degree ~10.1); 7 communities
+    (Flickr's 7 classes); cross 0.25 (published Flickr label homophily is
+    low, ~0.32; (1-cross)^2 ≈ 0.56 upper-bounds it at the community
+    level — structural homophily exceeds label homophily here since the
+    7 labels are coarse).  Not tuned against any kernel."""
+    return bipartite_projection_graph(
+        89_250, 989_006, n_comm=7, cross=0.25,
+        act_mean=3.5, act_sigma=0.8, act_max=64, pop_sigma=1.4,
+        seed=seed, name="flickr_posts",
+    )
 
 
 def ppi_like(seed: int = 0) -> CSRGraph:

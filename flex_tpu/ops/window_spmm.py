@@ -211,18 +211,22 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     hit = j1 > 0
     j = j1 - 1
 
-    # int32-safe: a_elems is capped below 2^31 by prepare_windowed
+    # int32-safe: a_elems is capped below 2^31 by prepare_windowed.
+    # Misses scatter to an out-of-bounds index and get dropped — no dump
+    # slot, no post-slice copy of the multi-GB buffer (the copy doubled
+    # transient HBM and OOM'd near the 6 GB dense cap).
     flat = ((pstep0[p] + j // G) * (TM * G * W)
             + (rows % TM) * (G * W) + (j % G) * W + dev_col % W)
-    a = jnp.zeros((a_elems + 1,), jnp.float32).at[
+    A = jnp.zeros((a_elems,), jnp.float32).at[
         jnp.where(hit, flat, a_elems)
-    ].add(jnp.where(hit, dev_vals, 0.0))
-    A = a[:a_elems].reshape(total_steps, TM, G * W)
+    ].add(dev_vals, mode="drop").reshape(total_steps, TM, G * W)
 
     res_pos = jnp.cumsum(~hit) - 1  # int32-safe: nnz < 2^31
     pos = jnp.where(hit, n_res, res_pos)
-    res_col = jnp.zeros((n_res + 1,), jnp.int32).at[pos].set(dev_col)[:n_res]
-    res_vals = jnp.zeros((n_res + 1,), jnp.float32).at[pos].set(dev_vals)[:n_res]
+    res_col = jnp.zeros((n_res,), jnp.int32).at[pos].set(
+        dev_col, mode="drop")
+    res_vals = jnp.zeros((n_res,), jnp.float32).at[pos].set(
+        dev_vals, mode="drop")
     res_deg = jnp.zeros((m,), jnp.int32).at[rows].add((~hit).astype(jnp.int32))
     return A, res_col, res_vals, res_deg
 
