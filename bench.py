@@ -84,7 +84,8 @@ def main() -> None:
     dev = DeviceCSR.from_graph(g)
     from flex_tpu.bench.harness import _resolve_prepare, _sync
 
-    plan = _resolve_prepare(method)(g, dev=dev, **prep_kwargs)
+    dev_kw = {"dev": dev} if method in ("ell", "band", "windowed") else {}
+    plan = _resolve_prepare(method)(g, **dev_kw, **prep_kwargs)
     import jax.numpy as jnp
 
     Bw = jnp.zeros((g.n, k), jnp.float32)
@@ -93,7 +94,7 @@ def main() -> None:
     t_cold = time.time() - t0
     log(f"cold prepare+compile: {t_cold:.1f}s")
 
-    r = bench_spmm(g, k, method=method, iters=10, check=True, dev=dev,
+    r = bench_spmm(g, k, method=method, iters=10, check=True, **dev_kw,
                    **prep_kwargs)
     log(
         f"tPre={r.t_pre:.2f}s (warm; cold incl. compile {t_cold:.1f}s) "

@@ -15,7 +15,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 from flex_tpu.sparse.csr import CSRGraph
-from flex_tpu.ops.ell_spmm import DEFAULT_WIDTHS
+from flex_tpu.ops.ell_spmm import ell_padded_nnz
 
 path = sys.argv[1]
 d = np.load(path)
@@ -27,13 +27,7 @@ BW = 250e9  # measured HBM stream
 ELL_NS = 7.3e-9  # measured per padded-nnz ELL cost, f32 k=128
 
 
-def ell_padded(deg):
-    w_arr = np.asarray(DEFAULT_WIDTHS, np.int64)
-    deg = deg[deg > 0]
-    wor = w_arr[np.minimum(np.searchsorted(w_arr, deg), len(w_arr) - 1)]
-    full = deg > w_arr[-1]
-    pad = np.where(full, -(-deg // w_arr[-1]) * w_arr[-1], wor)
-    return int(pad.sum())
+ell_padded = ell_padded_nnz  # the kernel's own padded-nnz model
 
 
 base_ell = ell_padded(g.degrees) * ELL_NS

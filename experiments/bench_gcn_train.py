@@ -1,0 +1,54 @@
+"""Reddit-scale GCN training throughput on the windowed plan vs ELL.
+
+2-layer GCN (d=128 -> 128 -> 41 classes like real Reddit), full-graph
+steps on the reddit_posts proxy; forward SpMM is the windowed Pallas
+kernel (custom VJP) or ELL.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import optax
+
+from flex_tpu.bench.harness import _time_device
+from flex_tpu.io import make_features
+from flex_tpu.models import GCN, make_train_step
+from flex_tpu.ops.ell_spmm import prepare_ell
+from flex_tpu.ops.window_spmm import prepare_windowed
+from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.device import DeviceCSR
+
+d = np.load("/tmp/reddit_posts_rbdeg.npz")
+g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                         name="reddit_posts", order="RBD")
+dev = DeviceCSR.from_graph(g)
+rng = np.random.default_rng(0)
+model = GCN(d_in=128, d_hidden=128, n_classes=41, nnz=g.nnz)
+X = jnp.asarray(make_features(g, 128))
+y = jnp.asarray(rng.integers(0, 41, g.m).astype(np.int32))
+mask = jnp.ones((g.m,), jnp.float32)
+opt = optax.adam(1e-2)
+
+for name, prep in (("windowed", lambda: prepare_windowed(
+                        g, dev=dev, tm=256, W=128, min_count=128)),
+                   ("ell", lambda: prepare_ell(g, dev=dev))):
+    plan = prep()
+    params = model.init(jax.random.PRNGKey(0))
+    state = opt.init(params)
+    step = make_train_step(model, plan, opt)
+
+    def one(params, state):
+        p2, s2, loss = step(params, state, X, y, mask)
+        return loss
+
+    t = _time_device(one, params, state, iters=5, warmup=2)
+    # SpMM work per step: 2 layers x (fwd + grad wrt features) = 4 SpMMs
+    print(f"{name}: {t*1e3:.1f} ms/step "
+          f"({4*2*g.nnz*128/t/1e9:.0f} GF/s SpMM-equiv)", flush=True)
+    del plan, step

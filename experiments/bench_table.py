@@ -37,9 +37,11 @@ for name in names:
     dev = DeviceCSR.from_graph(g)
     sug = suggest(g, 128, dev=dev)
     kw = dict(sug.prep_kwargs)
+    kw.pop("sel", None)  # timed prepare must redo all host work
+    if sug.method in ("ell", "band", "windowed"):
+        kw["dev"] = dev  # only these preparers take the resident CSR
     print(f"{name}: auto -> {sug.method} ({sug.reason})", flush=True)
-    r = bench_spmm(g, 128, method=sug.method, iters=10, check=True,
-                   dev=dev, **kw)
+    r = bench_spmm(g, 128, method=sug.method, iters=10, check=True, **kw)
     r.extra["auto"] = sug.method
     print(_fmt(r), r.extra.get("model_gb"), flush=True)
     results.append(r)

@@ -131,6 +131,13 @@ def bench_spmm(
     B_dev = jnp.asarray(B)
     t_elap = _time_device(plan, B_dev, iters=iters)
 
+    # Format statistics (coverage, pad ratio, bucket shapes, …) become
+    # report columns — the reference's per-config stats_collect columns.
+    if hasattr(plan, "stats"):
+        for key, val in plan.stats.items():
+            if isinstance(val, (int, float, str)):
+                extra[f"fmt_{key}"] = val
+
     # Measured-run analytics (reference flex.cu:5505-5688: byte model +
     # per-config AI + B-reuse joined with the measured launch): predicted
     # traffic, implied arithmetic intensity, fraction of the measured HBM

@@ -88,6 +88,10 @@ def main(argv=None) -> int:
         method = sug.method
         # the autotuner's validated parameters take precedence over defaults
         prep_kwargs = {**cfg.prep_kwargs(method), **sug.prep_kwargs}
+        # the timed prepare must redo all host selection work, or windowed
+        # tPre would exclude its O(nnz) pass while other methods include
+        # theirs (same convention as bench.py)
+        prep_kwargs.pop("sel", None)
         print(f"auto-selected method: {method} ({sug.reason})")
     else:
         prep_kwargs = cfg.prep_kwargs(method)

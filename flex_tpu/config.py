@@ -29,10 +29,11 @@ class FlexConfig:
     hub_threshold: int = 512
     hub_width: int = 2048
 
-    # windowed params
+    # windowed params (J = per-panel window cap; the step-major layout
+    # pads only to G=4 granularity so a high cap costs nothing)
     W: int = 128
-    J: int = 16
-    min_count: int = 160
+    J: int = 1024
+    min_count: int = 128
 
     # bench params
     iters: int = 10

@@ -136,39 +136,46 @@ class GeSpmmPlan:
 
 
 def prepare_gespmm(
-    g: CSRGraph, w: int = 32, interpret: bool | None = None, **_unused
+    g: CSRGraph, w: int = 32, dev=None, interpret: bool | None = None,
+    **_unused,
 ) -> GeSpmmPlan:
     """Single fixed chunk width (GE-SpMM processes every row through the
     same code path, flex.cu:82-120); rows longer than ``w`` split into
-    multiple chunks, chunk count padded to a CH multiple."""
+    multiple chunks, chunk count padded to a CH multiple.  The [N, w]
+    layout is built ON DEVICE from the resident CSR via the ELL bucket
+    builder (each chunk is a contiguous CSR run) — the host ships only
+    O(chunks) metadata (CLAUDE.md upload rule)."""
+    from flex_tpu.ops.ell_spmm import _build_buckets
+    from flex_tpu.sparse.device import DeviceCSR
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if dev is None:
+        dev = DeviceCSR.from_graph(g)
     deg = g.degrees.astype(np.int64)
     n_chunks = np.where(deg > 0, -(-deg // w), 0)
     rows_rep = np.repeat(np.arange(g.m, dtype=np.int64), n_chunks)
     total = len(rows_rep)
     cum0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
     local = np.arange(total, dtype=np.int64) - np.repeat(cum0, n_chunks)
-    starts = g.row_ptr[rows_rep] + local * w
-    lengths = np.minimum(deg[rows_rep] - local * w, w)
 
     N = max(_round_up(total, CH), CH)
-    cols = np.zeros((N, w), np.int32)
-    vals = np.zeros((N, w), np.float32)
+    starts = np.full(N, g.nnz, np.int32)  # pads slice the zero pad region
+    lengths = np.zeros(N, np.int32)
     chunk_row = np.full(N, g.m, np.int32)  # pads -> dump row
-    # vectorised ragged copy (same pattern as the sharded builder)
-    tot = int(lengths.sum())
-    chunk_ids = np.repeat(np.arange(total), lengths)
-    within = np.arange(tot, dtype=np.int64) - np.repeat(
-        np.cumsum(lengths) - lengths, lengths)
-    src = np.repeat(starts, lengths) + within
-    cols.reshape(-1)[chunk_ids * w + within] = g.col[src]
-    vals.reshape(-1)[chunk_ids * w + within] = g.vals[src]
+    starts[:total] = (g.row_ptr[rows_rep] + local * w).astype(np.int32)
+    lengths[:total] = np.minimum(deg[rows_rep] - local * w, w)
     chunk_row[:total] = rows_rep
 
+    meta_dev = jnp.asarray(np.concatenate([starts, lengths, chunk_row]))
+    col_pad = jnp.concatenate([dev.col, jnp.zeros((w,), jnp.int32)])
+    val_pad = jnp.concatenate([dev.vals, jnp.zeros((w,), jnp.float32)])
+    ((cols, vals),) = _build_buckets(
+        col_pad, val_pad, meta_dev, bucket_meta=((w, N),), total=N)
+
     return GeSpmmPlan(
-        m=g.m, w=w, cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-        chunk_row=jnp.asarray(chunk_row), nnz=g.nnz, padded_nnz=N * w,
+        m=g.m, w=w, cols=cols, vals=vals,
+        chunk_row=meta_dev[2 * N:], nnz=g.nnz, padded_nnz=N * w,
         interpret=interpret,
     )
 

@@ -37,20 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flex_tpu.sparse.csr import CSRGraph
-from flex_tpu.sparse.device import DeviceCSR
-
-
-def _round_up(x: int, mult: int) -> int:
-    return -(-x // mult) * mult
-
-
-def _rows_from_ptr(dev_row_ptr, nnz, m):
-    """Recover per-nnz row ids from row_ptr with the indicator-cumsum
-    trick (searchsorted over nnz is ~200x slower on this chip —
-    docs/measurements.md)."""
-    ind = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[1:m]].add(
-        1, mode="drop")
-    return jnp.cumsum(ind)
+from flex_tpu.sparse.device import (
+    DeviceCSR, round_up as _round_up, rows_from_row_ptr as _rows_from_ptr,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("layout",))

@@ -54,14 +54,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flex_tpu.sparse.csr import CSRGraph
-from flex_tpu.sparse.device import DeviceCSR
+from flex_tpu.sparse.device import (
+    DeviceCSR, round_up as _round_up, rows_from_row_ptr,
+)
 from flex_tpu.ops.ell_spmm import EllPlan, prepare_ell
 
 G = 4  # windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
-
-
-def _round_up(x: int, mult: int) -> int:
-    return -(-x // mult) * mult
 
 
 def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
@@ -78,9 +76,7 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
         @functools.partial(jax.jit, static_argnames=("shape",))
         def hist(row_ptr, col, *, shape):
             nnz, m_, tm_, W_, nblk_ = shape
-            ind = jnp.zeros((nnz,), jnp.int32).at[row_ptr[1:m_]].add(
-                1, mode="drop")
-            rows = jnp.cumsum(ind)
+            rows = rows_from_row_ptr(row_ptr, nnz, m_)
             key = (rows // tm_) * nblk_ + col // W_
             return jnp.zeros((P * nblk_,), jnp.int32).at[key].add(1)
 
@@ -117,6 +113,7 @@ def window_select(
     computed by the device build, not here.
     """
     m, nnz = g.m, g.nnz
+    J = min(J, 32000)  # slot table is int16 (values ≤ J+1)
     P = max(-(-m // tm), 1)
     nblk = max(-(-g.n // W), 1)
     cnt = _panel_block_hist(g, dev, tm, W, P, nblk)
@@ -202,9 +199,7 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     """
     nnz, m, TM, W, nblk, n_res, total_steps = layout
     a_elems = total_steps * TM * G * W
-    ind = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[1:m]].add(
-        1, mode="drop")
-    rows = jnp.cumsum(ind)
+    rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
     blk = dev_col // W
     j1 = slot_tab[p * nblk + blk].astype(jnp.int32)

@@ -141,13 +141,16 @@ def prepare_windowed_sharded(
     J: int = 1024,
     min_count: int = 128,
     min_coverage: float = 0.15,
+    max_dense_bytes: int = 6 << 30,
     impl: str = "pallas",
     interpret: bool | None = None,
 ) -> ShardedWindowedPlan:
     """Shard rows by nnz; per shard run the single-chip window selection
     and device format build; residues recombine into one global CSR for
     the sharded ELL path.  Refuses (ValueError) when total coverage is
-    below ``min_coverage`` (same rule as the single-chip plan)."""
+    below ``min_coverage`` or any shard's dense format exceeds
+    ``max_dense_bytes`` (also the _build_windowed int32 index guard —
+    same rules as the single-chip plan)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     axis = axis or mesh.axis_names[0]
@@ -166,7 +169,13 @@ def prepare_windowed_sharded(
             degrees=g.degrees[r0:r1],
             col=g.col[s0:s1],
         )
-        sels.append(window_select(gs, tm=tm, W=W, J=J, min_count=min_count))
+        sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count)
+        if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
+            raise ValueError(
+                f"shard [{r0},{r1}) dense array too big: "
+                f"{sel['dense_bytes']/1e9:.2f} GB — raise min_count or "
+                f"use more shards")
+        sels.append(sel)
         shard_graphs.append((gs, s0, s1))
     covered = sum(round(s["coverage"] * gs.nnz)
                   for s, (gs, _, _) in zip(sels, shard_graphs))

@@ -36,3 +36,15 @@ class DeviceCSR:
             vals=jnp.asarray(g.vals),
             m=g.m, n=g.n, nnz=g.nnz,
         )
+
+
+def round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def rows_from_row_ptr(row_ptr, nnz: int, m: int):
+    """Recover per-nnz row ids from a device row_ptr with the
+    indicator-cumsum trick — `jnp.searchsorted` over nnz-sized arrays is
+    ~200x slower on this chip (docs/measurements.md)."""
+    ind = jnp.zeros((nnz,), jnp.int32).at[row_ptr[1:m]].add(1, mode="drop")
+    return jnp.cumsum(ind)

@@ -50,6 +50,9 @@ def test_traffic_model_columns(small_rmat):
         assert row["b_reuse"] > 0
     # ELL gathers per-nnz (padded): reuse ≤ 1; xla gathers exactly nnz-ish
     assert r.extra["b_reuse"] <= 1.0
+    # format stats become report columns (stats_collect analog)
+    r = bench_spmm(small_rmat, 8, method="ell", iters=1, check=False)
+    assert r.extra["fmt_pad_ratio"] >= 1.0
 
 
 def test_trace_context(tmp_path, small_rmat):
