@@ -84,7 +84,8 @@ def main() -> None:
     dev = DeviceCSR.from_graph(g)
     from flex_tpu.bench.harness import _resolve_prepare, _sync
 
-    dev_kw = {"dev": dev} if method in ("ell", "band", "windowed") else {}
+    dev_kw = {"dev": dev} \
+        if method in ("ell", "band", "windowed", "gespmm") else {}
     plan = _resolve_prepare(method)(g, **dev_kw, **prep_kwargs)
     import jax.numpy as jnp
 
@@ -101,10 +102,10 @@ def main() -> None:
     # warm prepare can be dominated by one slow metadata upload.
     r_b = bench_spmm(g, k, method=method, iters=10, check=False, **dev_kw,
                      **prep_kwargs)
-    if r_b.t_pre < r.t_pre:
-        r.t_pre, r.pre_ratio = r_b.t_pre, r_b.t_pre / r.t_elap
+    r.t_pre = min(r.t_pre, r_b.t_pre)
     if r_b.t_elap < r.t_elap:
         r.t_elap, r.gflops = r_b.t_elap, r_b.gflops
+    r.pre_ratio = r.t_pre / r.t_elap
     log(
         f"tPre={r.t_pre:.2f}s (warm; cold incl. compile {t_cold:.1f}s) "
         f"tElap={r.t_elap*1e3:.1f}ms gflops={r.gflops:.1f} "

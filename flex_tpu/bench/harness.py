@@ -112,7 +112,8 @@ def bench_spmm(
         prepare = _resolve_prepare(method)
 
     extra: dict[str, Any] = {}
-    if method in ("ell", "band", "windowed") and "dev" not in prep_kwargs:
+    if method in ("ell", "band", "windowed", "gespmm") \
+            and "dev" not in prep_kwargs:
         # CSR upload is the loader's job (reference cuda_alloc_cpy), not
         # preprocessing; time it separately.
         from flex_tpu.sparse.device import DeviceCSR

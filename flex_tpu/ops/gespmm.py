@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.device import round_up as _round_up
 
 CH = 8       # chunks per grid step (matches the (8, 128) SMEM index block)
 DEPTH = 16   # DMA pipeline depth
@@ -178,10 +179,6 @@ def prepare_gespmm(
         chunk_row=meta_dev[2 * N:], nnz=g.nnz, padded_nnz=N * w,
         interpret=interpret,
     )
-
-
-def _round_up(x: int, mult: int) -> int:
-    return -(-x // mult) * mult
 
 
 def spmm_gespmm(g: CSRGraph, B, **kwargs):

@@ -20,9 +20,13 @@ no inter-chip reduction exists for either part (C rows are disjoint per
 shard).
 
 Known limitation (documented, beyond-reference scope): the per-shard
-dense formats are built by per-shard device programs from the resident
-CSR, not yet by a distributed build — on real multi-chip hardware the
-build serialises through the host process once per shard.
+dense formats are built by per-shard device programs, not yet by a
+distributed build — on real multi-chip hardware the build serialises
+through the default device one shard at a time (each shard's A is moved
+to its own device as soon as it is built, so the default device's
+high-water mark is ~one shard's dense array, not the full format), and
+the per-shard CSR slices are uploaded from host rather than sliced from
+a resident DeviceCSR.
 """
 from __future__ import annotations
 
@@ -132,6 +136,31 @@ class ShardedWindowedPlan:
         }
 
 
+def _swin_flatten(p: ShardedWindowedPlan):
+    children = (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell)
+    aux = (p.mesh, p.axis, p.m, p.n, p.tm, p.W, tuple(p.row_bounds),
+           p.m_shard_pad, p.n_panels_pad, p.coverage, p.interpret, p.impl,
+           p.precision)
+    return children, aux
+
+
+def _swin_unflatten(aux, children):
+    (mesh, axis, m, n, tm, W, bounds, m_pad, n_pan, cov, interp, impl,
+     prec) = aux
+    return ShardedWindowedPlan(
+        mesh=mesh, axis=axis, m=m, n=n, tm=tm, W=W,
+        row_bounds=list(bounds), m_shard_pad=m_pad, n_panels_pad=n_pan,
+        A=children[0], first=children[1], out_panel=children[2],
+        win_step=children[3], row_gather=children[4], ell=children[5],
+        coverage=cov, interpret=interp, impl=impl, precision=prec,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    ShardedWindowedPlan, _swin_flatten, _swin_unflatten
+)
+
+
 def prepare_windowed_sharded(
     g: CSRGraph,
     mesh: Mesh,
@@ -192,16 +221,33 @@ def prepare_windowed_sharded(
     m_shard_pad = P_max * tm
     zero_row = n_panels_pad * tm  # index of the appended zero row
 
-    A_sh, first_sh, op_sh, ws_sh, rg_sh = [], [], [], [], []
-    res_cols, res_valss, res_degs = [], [], []
-    for (gs, s0, s1), sel in zip(shard_graphs, sels):
+    # Per-shard device placement: each shard's dense A moves to its own
+    # mesh device as soon as it is built, then the global array is
+    # assembled from the single-device shards — the full [D, ...] stack
+    # never materialises on one chip (review round-2 finding: stacking
+    # first would need the whole unsharded footprint on the default
+    # device, defeating the capacity purpose of sharding).
+    sh = NamedSharding(mesh, P(axis, None, None, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    A_shape = (D, S_max, tm, G * W)
+    # device -> which dim-0 shard it holds (devices on other mesh axes
+    # replicate their shard)
+    shard_of_device = {
+        dvc: (idx[0].start or 0)
+        for dvc, idx in sh.addressable_devices_indices_map(A_shape).items()
+    }
+
+    A_per_device: dict = {}
+    first_sh, op_sh, ws_sh, rg_sh = [], [], [], []
+    res_masks, res_degs = [], []
+    for d_idx, ((gs, s0, s1), sel) in enumerate(zip(shard_graphs, sels)):
         dev_s = DeviceCSR(
             row_ptr=jnp.asarray(gs.row_ptr.astype(np.int64)),
             col=jnp.asarray(gs.col.astype(np.int32)),
             vals=jnp.asarray(g.vals[s0:s1]),
             m=gs.m, n=gs.n, nnz=gs.nnz,
         )
-        A, rc, rv, rdeg = _build_windowed(
+        A, _, _, _ = _build_windowed(
             dev_s.row_ptr, dev_s.col, dev_s.vals,
             jnp.asarray(sel["slot"]),
             jnp.asarray(sel["pstep0"].astype(np.int32)),
@@ -209,7 +255,15 @@ def prepare_windowed_sharded(
                     sel["total_steps"]),
         )
         S = sel["total_steps"]
-        A_sh.append(jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0))))
+        A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
+        # move this shard to its device(s) NOW — the build device's
+        # high-water mark stays at ~one shard's dense array
+        for dvc, shard in shard_of_device.items():
+            if shard == d_idx:
+                moved = jax.device_put(A_pad, dvc)
+                moved.block_until_ready()
+                A_per_device[dvc] = moved
+        del A, A_pad, dev_s
         first_sh.append(np.pad(sel["first"], (0, S_max - S),
                                constant_values=1))
         op_sh.append(np.pad(sel["out_panel"], (0, S_max - S),
@@ -217,21 +271,25 @@ def prepare_windowed_sharded(
         ws_sh.append(np.pad(sel["win_step"], (0, (S_max - S) * G),
                             constant_values=nblk))
         used = sel["used"]
-        row_src = np.full(-(-gs.m // tm), -1, dtype=np.int64)
+        P_s = -(-gs.m // tm)
+        row_src = np.full(P_s, -1, dtype=np.int64)
         row_src[used] = np.arange(len(used))
-        rg = np.full(m_shard_pad, zero_row, dtype=np.int64)
-        for p in range(len(row_src)):
-            if row_src[p] >= 0:
-                rg[p * tm:(p + 1) * tm] = (row_src[p] * tm
-                                           + np.arange(tm))
-        rg_sh.append(rg.astype(np.int32))
-        res_cols.append(np.asarray(rc))
-        res_valss.append(np.asarray(rv))
-        res_degs.append(np.asarray(rdeg).astype(np.int64))
+        rg = np.full((P_s, tm), zero_row, dtype=np.int64)
+        rg[used] = (row_src[used][:, None] * tm
+                    + np.arange(tm, dtype=np.int64)[None, :])
+        rg_full = np.full(m_shard_pad, zero_row, dtype=np.int64)
+        rg_full[:P_s * tm] = rg.ravel()
+        rg_sh.append(rg_full.astype(np.int32))
+        # residue mask on host (avoids an nnz-sized D2H round trip; the
+        # slot table is the same one the device build consumes)
+        rows_s = np.repeat(np.arange(gs.m, dtype=np.int64), gs.degrees)
+        key = (rows_s // tm) * nblk + gs.col.astype(np.int64) // W
+        miss = sel["slot"][key] == 0
+        res_masks.append(miss)
+        res_degs.append(np.bincount(rows_s[miss], minlength=gs.m))
 
-    sh = NamedSharding(mesh, P(axis, *([None] * 3)))
-    sh2 = NamedSharding(mesh, P(axis, None))
-    A_stack = jax.device_put(jnp.stack(A_sh), sh)
+    A_stack = jax.make_array_from_single_device_arrays(
+        A_shape, sh, list(A_per_device.values()))
     first_st = jax.device_put(np.stack(first_sh), sh2)
     op_st = jax.device_put(np.stack(op_sh), sh2)
     ws_st = jax.device_put(np.stack(ws_sh), sh2)
@@ -241,9 +299,10 @@ def prepare_windowed_sharded(
     res_deg = np.concatenate(res_degs)
     res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
     np.cumsum(res_deg, out=res_row_ptr[1:])
+    miss_all = np.concatenate(res_masks)
     g_res = CSRGraph.from_arrays(
-        res_row_ptr, np.concatenate(res_cols),
-        np.concatenate(res_valss), name=f"{g.name}_res", order=g.order)
+        res_row_ptr, g.col[miss_all], g.vals[miss_all],
+        name=f"{g.name}_res", order=g.order)
     ell = prepare_ell_sharded(g_res, mesh, axis=axis)
 
     return ShardedWindowedPlan(

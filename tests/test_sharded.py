@@ -71,6 +71,12 @@ def test_sharded_windowed_matches_scipy(n_dev):
     np.testing.assert_allclose(C, np.asarray(local(jnp.asarray(B))),
                                rtol=1e-5, atol=1e-5)
 
+    # registered pytree: flatten/unflatten roundtrip stays callable
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    plan2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(C, np.asarray(plan2(jnp.asarray(B))),
+                               rtol=1e-6)
+
 
 @needs_8dev
 def test_sharded_windowed_refuses_scattered():
