@@ -127,7 +127,7 @@ def suggest(
 def autotune(
     g: CSRGraph,
     k: int = 128,
-    methods: Sequence[str] = ("ell", "panel", "xla"),
+    methods: Sequence[str] = ("ell", "windowed", "panel", "xla"),
     iters: int = 3,
     check: bool = False,
 ):
