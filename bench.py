@@ -1,7 +1,7 @@
 """Headline benchmark for the driver.
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N, ...}
 
 Config (BASELINE.json config 3): Reddit-scale SpMM — 232,965 rows,
 23,446,803 nnz, k=128, f32 exact.  The graph is the `reddit_posts`
@@ -15,20 +15,38 @@ sorted within).  Method: chosen by the autotuner's time model
 Baseline = ASpT on H100, Reddit k=128: 1237.25 GFLOP/s (BASELINE.md;
 recorded there with ~99% wrong outputs — ours validates at err=0).
 
+Round-3 structure (VERDICT r02 item 1 — the r02 capture ran 15-18x
+slower than every dev measurement and bench.py reported it unflagged):
+
+- the parent process does NO TPU work; it launches a worker subprocess
+  and, if the worker reports a degraded environment (or dies), retries
+  ONCE in a fresh process (the documented recovery for relay wedges).
+- the worker brackets the timed section with a CALIBRATION PROBE
+  (4096^2 f32 matmul + a 128 MB HBM stream) checked against the
+  measured constants in docs/measurements.md; out-of-range probes mark
+  the run `env_ok=false`.  The reference harness self-checks its timing
+  the same way (cuSPARSE setup/processing split, flex.cu:5737-5790).
+- measured tElap is compared against the autotuner's own time model;
+  >3x divergence is annotated.
+- the capture window is small: ONE checked benchmark run, ONE extra
+  timed prepare (tPre best-of-two vs tunnel upload variance; tElap is
+  reported from the first run only — round-2 advisor).
+
 Timing conventions (CLAUDE.md / README):
 - GFLOP/s = 2·nnz·k / tElap.
-- tPre = format build (host metadata + device build + residue plan),
-  measured with warm XLA executables: the same prepare runs once to
-  compile, then the timed run measures the actual preprocessing work.
-  The reference's CUDA kernels are precompiled by nvcc, so its tPre
-  excludes compilation the same way.  Cold (compile-inclusive) time is
-  logged to stderr for transparency.
+- tPre = format build from the device-resident CSR (device build +
+  residue ELL build), measured with warm XLA executables; the
+  selection tables are the autotuner's own (shared pass — VERDICT r02
+  item 2).  The reference's CUDA kernels are precompiled by nvcc and
+  its harness builds formats from an already-resident graph the same
+  way.  Cold (compile-inclusive) time is logged to stderr.
 All progress chatter goes to stderr; stdout stays one line.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -38,74 +56,157 @@ def log(msg):
 
 
 BASELINE_GFLOPS = 1237.25  # ASpT H100 Reddit k=128 (README.md:39)
-CACHE = "/tmp/reddit_posts_rbdeg.npz"
+# cache keyed by generator+ordering version (round-2 advisor: unkeyed
+# cache could silently benchmark a stale graph) and validated on load
+CACHE_VERSION = 3
+CACHE = f"/tmp/reddit_posts_rbdeg_v{CACHE_VERSION}.npz"
+EXPECT_M, EXPECT_NNZ = 232_965, 23_446_803
+K = 128
+
+# calibration-probe acceptance floors: well below the measured norms
+# (docs/measurements.md: 76 TF/s f32 matmul, 195-300 GB/s HBM stream)
+# so normal variance passes, but the r02-style 15x collapse fails.
+PROBE_MATMUL_MIN_TFLOPS = 25.0
+PROBE_STREAM_MIN_GBPS = 80.0
+RESULT = "/tmp/flex_tpu_bench_result.json"
 
 
-def main() -> None:
-    t_start = time.time()
-    import jax
+# --------------------------------------------------------------------------
+# worker
+# --------------------------------------------------------------------------
 
-    # Persistent compile cache: first-ever run still pays remote compiles,
-    # later runs (and the warm tPre measured below) do not.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+def _load_graph():
     import numpy as np
 
-    from flex_tpu.bench.autotune import suggest
-    from flex_tpu.bench.harness import bench_spmm
     from flex_tpu.sparse.csr import CSRGraph
-    from flex_tpu.sparse.device import DeviceCSR
 
-    k = 128
     if os.path.exists(CACHE):
         log(f"loading cached ordered graph {CACHE}")
         d = np.load(CACHE)
-        g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
-                                 name="reddit_posts", order="RBD")
-    else:
-        from flex_tpu.io.synth import reddit_posts
-        from flex_tpu.reorder import reorder
+        if d["row_ptr"].shape[0] - 1 == EXPECT_M and \
+                d["col"].shape[0] == EXPECT_NNZ:
+            return CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                                        name="reddit_posts", order="RBD")
+        log("cache shape mismatch — regenerating")
+    from flex_tpu.io.synth import reddit_posts
+    from flex_tpu.reorder import reorder
 
-        log("generating reddit_posts proxy (233K rows, 23.4M nnz)...")
-        g = reddit_posts(seed=0)
-        log(f"graph: {g}; applying rbdeg ordering...")
-        g = reorder(g, "rbdeg", check=False)
-        np.savez(CACHE, row_ptr=g.row_ptr, col=g.col, vals=g.vals)
+    log("generating reddit_posts proxy (233K rows, 23.4M nnz)...")
+    g = reddit_posts(seed=0)
+    log(f"graph: {g}; applying rbdeg ordering...")
+    g = reorder(g, "rbdeg", check=False)
+    np.savez(CACHE, row_ptr=g.row_ptr, col=g.col, vals=g.vals)
+    return g
+
+
+def _probe(tag: str) -> dict:
+    """Calibration probe: realized matmul TF/s + HBM stream GB/s, checked
+    against docs/measurements.md constants."""
+    import jax
+    import jax.numpy as jnp
+
+    from flex_tpu.bench.harness import _sync, _time_device
+
+    n = 4096
+    x = jnp.ones((n, n), jnp.float32)
+    mm = jax.jit(lambda a: a @ a)
+    t_mm = _time_device(mm, x, iters=20, warmup=3)
+    tflops = 2 * n**3 / t_mm / 1e12
+
+    s = jnp.ones((32 * 1024 * 1024,), jnp.float32)  # 128 MB
+    st = jax.jit(lambda a: a * 1.000001 + 1e-12)
+    t_st = _time_device(st, s, iters=20, warmup=3)
+    gbps = 2 * s.size * 4 / t_st / 1e9
+    _sync(x)
+    ok = tflops >= PROBE_MATMUL_MIN_TFLOPS and gbps >= PROBE_STREAM_MIN_GBPS
+    log(f"[probe:{tag}] matmul {tflops:.1f} TF/s (floor "
+        f"{PROBE_MATMUL_MIN_TFLOPS}), stream {gbps:.1f} GB/s (floor "
+        f"{PROBE_STREAM_MIN_GBPS}) -> {'ok' if ok else 'DEGRADED'}")
+    return {"tag": tag, "matmul_tflops": round(tflops, 1),
+            "stream_gbps": round(gbps, 1), "ok": ok}
+
+
+def worker(out_path: str) -> None:
+    t_start = time.time()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flex_tpu.bench.autotune import suggest
+    from flex_tpu.bench.harness import _resolve_prepare, _sync, bench_spmm
+    from flex_tpu.sparse.device import DeviceCSR
+
+    res: dict = {"annotations": [], "probes": []}
+
+    def emit():
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+
+    g = _load_graph()
     log(f"graph ready at {time.time()-t_start:.0f}s: {g}")
 
-    sug = suggest(g, k)
+    p0 = _probe("pre")
+    res["probes"].append(p0)
+    if not p0["ok"]:
+        res["annotations"].append("degraded-environment:pre-probe")
+        emit()  # parent decides whether to retry in a fresh process
+        return
+
+    log("uploading CSR...")
+    t0 = time.time()
+    dev = DeviceCSR.from_graph(g)
+    _sync(dev.vals)
+    log(f"CSR upload: {time.time()-t0:.1f}s")
+
+    sug = suggest(g, K, dev=dev)
     log(f"autotuner: {sug.method} ({sug.reason})")
     method = sug.method
     prep_kwargs = dict(sug.prep_kwargs)
-    prep_kwargs.pop("sel", None)  # timed prepare must redo all host work
 
-    log("uploading CSR + warming executables (cold compile pass)...")
+    log("cold prepare + executable warmup (compile pass)...")
     t0 = time.time()
-    dev = DeviceCSR.from_graph(g)
-    from flex_tpu.bench.harness import _resolve_prepare, _sync
-
+    prepare = _resolve_prepare(method)
     dev_kw = {"dev": dev} \
         if method in ("ell", "band", "windowed", "gespmm") else {}
-    plan = _resolve_prepare(method)(g, **dev_kw, **prep_kwargs)
-    import jax.numpy as jnp
-
-    Bw = jnp.zeros((g.n, k), jnp.float32)
+    plan = prepare(g, **dev_kw, **prep_kwargs)
+    Bw = jnp.zeros((g.n, K), jnp.float32)
     _sync(plan(Bw))
     del plan, Bw
     t_cold = time.time() - t0
     log(f"cold prepare+compile: {t_cold:.1f}s")
 
-    r = bench_spmm(g, k, method=method, iters=10, check=True, **dev_kw,
+    r = bench_spmm(g, K, method=method, iters=10, check=True, **dev_kw,
                    **prep_kwargs)
     # tPre best-of-two: the host->device tunnel's throughput varies
     # 1.7-45 MB/s between transfers (docs/measurements.md), so a single
-    # warm prepare can be dominated by one slow metadata upload.
-    r_b = bench_spmm(g, k, method=method, iters=10, check=False, **dev_kw,
-                     **prep_kwargs)
-    r.t_pre = min(r.t_pre, r_b.t_pre)
-    if r_b.t_elap < r.t_elap:
-        r.t_elap, r.gflops = r_b.t_elap, r_b.gflops
+    # warm prepare can be hit by one slow transfer.  Only tPre is re-timed
+    # (round-2 advisor: best-of-two tElap would inflate the headline; and
+    # VERDICT r02: the second full benchmark doubled the capture window).
+    t0 = time.time()
+    plan2 = prepare(g, **dev_kw, **prep_kwargs)
+    _sync(getattr(plan2, "__dict__", plan2))
+    t_pre2 = time.time() - t0
+    del plan2
+    r.t_pre = min(r.t_pre, t_pre2)
     r.pre_ratio = r.t_pre / r.t_elap
+
+    p1 = _probe("post")
+    res["probes"].append(p1)
+
+    # model-divergence flag: measured vs the autotuner's own time model
+    model_t = (sug.model or {}).get(method)
+    if model_t:
+        ratio = r.t_elap / model_t
+        res["model_elap_ratio"] = round(ratio, 2)
+        if ratio > 3.0:
+            res["annotations"].append(
+                f"model-divergence:{ratio:.1f}x-slower-than-time-model")
+    if not p1["ok"]:
+        res["annotations"].append("degraded-environment:post-probe")
+
     log(
         f"tPre={r.t_pre:.2f}s (warm; cold incl. compile {t_cold:.1f}s) "
         f"tElap={r.t_elap*1e3:.1f}ms gflops={r.gflops:.1f} "
@@ -115,33 +216,109 @@ def main() -> None:
     )
     if r.check is not None and r.check.err_frac > 1e-4:
         log("WARNING: result check failed; reporting 0")
+        res["annotations"].append("result-check-failed")
         value = 0.0
     else:
         value = round(r.gflops, 2)
 
-    # Secondary row: the ELL fallback trades ~2.7x tElap for a sub-second
+    res.update({
+        "value": value,
+        "t_pre_s": round(r.t_pre, 3),
+        "t_elap_ms": round(r.t_elap * 1e3, 2),
+        "pre_elap_ratio": round(r.pre_ratio, 2),
+        "method": method,
+        "err_frac": r.check.err_frac if r.check else None,
+        "cold_s": round(t_cold, 1),
+        "env_ok": p0["ok"] and p1["ok"],
+    })
+    emit()
+
+    # Secondary row: the ELL fallback trades tElap for a sub-second
     # rebuild (the right choice for one-shot runs; the autotuned windowed
     # headline amortises its format over reuse, e.g. GCN training).
+    # Runs AFTER the result file is written — never endangers the headline.
     try:
         from flex_tpu.ops.ell_spmm import prepare_ell
 
-        plan2 = prepare_ell(g, dev=dev)  # warm the build executables
-        _sync(plan2.chunk_row)
-        del plan2
-        r2 = bench_spmm(g, k, method="ell", iters=10, check=False, dev=dev)
+        plan3 = prepare_ell(g, dev=dev)  # warm the build executables
+        _sync(plan3.chunk_row)
+        del plan3
+        r2 = bench_spmm(g, K, method="ell", iters=10, check=False, dev=dev)
         log(f"[secondary] ell: tPre={r2.t_pre:.2f}s "
             f"tElap={r2.t_elap*1e3:.1f}ms gflops={r2.gflops:.1f} "
             f"pre/elap={r2.pre_ratio:.2f}")
-    except Exception as e:  # never endanger the headline line
+        res["secondary_ell_gflops"] = round(r2.gflops, 1)
+        res["secondary_ell_pre_ratio"] = round(r2.pre_ratio, 2)
+        emit()
+    except Exception as e:
         log(f"[secondary] ell failed: {e}")
 
-    print(json.dumps({
-        "metric": "spmm_effective_gflops_reddit_posts_k128",
-        "value": value,
-        "unit": "GFLOP/s",
-        "vs_baseline": round(value / BASELINE_GFLOPS, 4),
-    }))
+
+# --------------------------------------------------------------------------
+# parent
+# --------------------------------------------------------------------------
+
+def _run_worker(timeout: float) -> dict | None:
+    if os.path.exists(RESULT):
+        os.unlink(RESULT)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", RESULT],
+            timeout=timeout,
+        )
+        log(f"worker exited rc={p.returncode}")
+    except subprocess.TimeoutExpired:
+        log("worker timed out")
+    if os.path.exists(RESULT):
+        with open(RESULT) as f:
+            return json.load(f)
+    return None
+
+
+def main() -> None:
+    t0 = time.time()
+    res = _run_worker(timeout=2400)
+    degraded = res is None or not res.get("env_ok", False) \
+        or "value" not in res
+    if degraded:
+        # documented recovery: relay wedges clear in ~1 min; one retry in
+        # a FRESH process (fresh backend, fresh HBM arena)
+        why = "no result" if res is None else \
+            ",".join(res.get("annotations", [])) or "no value"
+        log(f"first capture degraded ({why}); retrying once in 60s...")
+        time.sleep(60)
+        res2 = _run_worker(timeout=max(300, 2400 - (time.time() - t0)))
+        if res2 is not None and "value" in res2 and (
+                res is None or "value" not in res
+                or res2.get("env_ok", False)):
+            res2.setdefault("annotations", []).append("retry:second-capture")
+            res = res2
+
+    if res is None or "value" not in res:
+        out = {
+            "metric": "spmm_effective_gflops_reddit_posts_k128",
+            "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0,
+            "annotations": ["benchmark-failed-twice"]
+            + (res.get("annotations", []) if res else []),
+        }
+    else:
+        out = {
+            "metric": "spmm_effective_gflops_reddit_posts_k128",
+            "value": res["value"],
+            "unit": "GFLOP/s",
+            "vs_baseline": round(res["value"] / BASELINE_GFLOPS, 4),
+        }
+        for key in ("t_pre_s", "t_elap_ms", "pre_elap_ratio", "method",
+                    "err_frac", "probes", "model_elap_ratio", "env_ok",
+                    "secondary_ell_gflops", "secondary_ell_pre_ratio",
+                    "annotations"):
+            if key in res and res[key] not in (None, [],):
+                out[key] = res[key]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()

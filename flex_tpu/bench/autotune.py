@@ -80,13 +80,16 @@ def suggest(
     model: dict[str, float] = {"ell": _t_ell(g.degrees) + FIXED_OVERHEAD}
 
     # windowed: share the builder's own selection (window_select) so the
-    # model and the built format agree.
+    # model and the built format agree — including the eligibility
+    # thresholds (module constants, round-2 advisor finding).
     win_kwargs = {"tm": win_tm, "W": win_W, "min_count": win_min_count}
-    from flex_tpu.ops.window_spmm import G, window_select
+    from flex_tpu.ops.window_spmm import (
+        MAX_DENSE_BYTES, MIN_COVERAGE, window_select,
+    )
 
     sel = window_select(g, dev=dev, **win_kwargs)
-    if sel["coverage"] >= 0.15 and sel["dense_bytes"] <= (6 << 30):
-        n_win = sel["total_steps"] * G
+    if sel["coverage"] >= MIN_COVERAGE and sel["dense_bytes"] <= MAX_DENSE_BYTES:
+        n_win = sel["total_steps"] * sel["G"]
         # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
         # pad ratio (exact per-row degrees are only computed on device)
         model["windowed"] = (n_win * WIN_US_PER_WINDOW

@@ -66,12 +66,23 @@ class BenchResult:
 
 def _sync(out) -> None:
     """Force completion.  Under the axon TPU relay ``block_until_ready`` does
-    not actually round-trip, so sync through a device-to-host copy of (a leaf
-    of) the output."""
-    for leaf in jax.tree_util.tree_leaves(out):
-        if isinstance(leaf, jax.Array):
-            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
-            return
+    not actually round-trip, so sync through a device-to-host copy.  All
+    array leaves are folded into ONE tiny D2H (a first-element concat) so a
+    multi-dispatch build (e.g. format build + bucket build) is fully
+    retired — syncing only the first leaf under-measured tPre when later
+    dispatches were still in flight."""
+    import jax.numpy as jnp
+
+    leaves = [leaf for leaf in jax.tree_util.tree_leaves(out)
+              if isinstance(leaf, jax.Array)]
+    if not leaves:
+        return
+    heads = [leaf.ravel()[:1].astype(jnp.float32) for leaf in leaves
+             if leaf.size]
+    if not heads:
+        np.asarray(leaves[0])
+        return
+    np.asarray(heads[0] if len(heads) == 1 else jnp.concatenate(heads))
 
 
 def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
@@ -112,7 +123,7 @@ def bench_spmm(
         prepare = _resolve_prepare(method)
 
     extra: dict[str, Any] = {}
-    if method in ("ell", "band", "windowed", "gespmm") \
+    if method in ("ell", "band", "windowed", "gespmm", "bcoo") \
             and "dev" not in prep_kwargs:
         # CSR upload is the loader's job (reference cuda_alloc_cpy), not
         # preprocessing; time it separately.
@@ -154,12 +165,25 @@ def bench_spmm(
 
     if trace_dir:
         # One traced dispatch (kept out of the timed loop): writes a
-        # Perfetto/TensorBoard trace directory — the NPerf-replay analog.
-        from flex_tpu.utils.trace import trace
+        # Perfetto/TensorBoard trace directory — the NPerf-replay analog —
+        # then parses it into measured per-op device times and joins them
+        # with the byte-model columns (reference: measured counters →
+        # derived columns, flex.cu:5082-5132, 5505-5688).
+        from flex_tpu.utils.trace import trace, trace_summary
 
         with trace(trace_dir):
             _sync(plan(B_dev))
         extra["trace_dir"] = trace_dir
+        try:
+            ts = trace_summary(trace_dir)
+            if ts["top_ops"]:
+                extra["trace_device_ms"] = ts["device_total_ms"]
+                if "model_gb" in extra:
+                    model_ms = extra["model_gb"] / HBM_MEASURED * 1e12
+                    extra["trace_vs_model"] = round(
+                        ts["device_total_ms"] / max(model_ms, 1e-9), 3)
+        except Exception as e:  # parse failure must not kill the bench
+            extra["trace_parse_error"] = str(e)[:120]
 
     chk = None
     if check:
@@ -211,6 +235,10 @@ def _resolve_prepare(method: str) -> Callable:
         from flex_tpu.ops.gespmm import prepare_gespmm
 
         return prepare_gespmm
+    if method == "bcoo":
+        from flex_tpu.ops.bcoo_spmm import prepare_bcoo
+
+        return prepare_bcoo
     raise ValueError(f"unknown method {method!r}")
 
 

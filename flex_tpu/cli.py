@@ -51,7 +51,7 @@ def main(argv=None) -> int:
         results = sweep(
             g, ks=(cfg.k,),
             orders=("ovo", "deg", "rcm", "dfs", "gorder", "rabbit"),
-            methods=("xla", "ell", "panel", "band", "windowed"),
+            methods=("xla", "bcoo", "ell", "panel", "band", "windowed"),
             tms=(128, 256), csv_path=cfg.csv,
             check=cfg.check, iters=cfg.iters,
         )
@@ -110,6 +110,17 @@ def main(argv=None) -> int:
                        check=cfg.check, trace_dir=cfg.trace,
                        **cfg.prep_kwargs("ell"))
     print(_fmt(r))
+    if cfg.trace:
+        # measured per-op device times from the trace (the reference's
+        # NPerf table, flex.cu:5082-5132)
+        from flex_tpu.utils.trace import format_trace_table, trace_table
+
+        rows = trace_table(cfg.trace)
+        if rows:
+            print(format_trace_table(rows))
+            print(f"trace: {len(rows)} distinct ops; "
+                  f"total {sum(x['total_ms'] for x in rows):.2f} ms device "
+                  f"time in {cfg.trace}")
     if cfg.csv:
         write_csv([r], cfg.csv)
         print(f"wrote {cfg.csv}")

@@ -13,6 +13,9 @@ autotuner that picks per matrix (SURVEY.md §7 step 4):
                      (community graphs after rbdeg/rabbit).
 - ``"gespmm"``     — GE-SpMM row-parallel port (documented-negative
                      baseline, flex.cu:81-273).
+- ``"bcoo"``       — jax.experimental.sparse BCOO dot_general (second stock
+                     baseline; the reference keeps two in-tree external
+                     baselines the same way, flex.cu:81-273 + aspt/).
 """
 from __future__ import annotations
 
@@ -46,4 +49,8 @@ def spmm(g, B, method: str = "xla", **kwargs):
         from flex_tpu.ops import gespmm as _ge
 
         return _ge.spmm_gespmm(g, B, **kwargs)
+    if method == "bcoo":
+        from flex_tpu.ops import bcoo_spmm as _bcoo
+
+        return _bcoo.spmm_bcoo(g, B, **kwargs)
     raise ValueError(f"unknown spmm method {method!r}")

@@ -39,26 +39,21 @@ DEFAULT_WIDTHS = (
 
 @functools.partial(jax.jit, static_argnames=("bucket_meta", "total"))
 def _build_buckets(col_pad, val_pad, meta_dev, *, bucket_meta, total):
-    """Build every width bucket's [N, w] arrays on device in one program.
-
-    Each chunk's nnz are *contiguous* in CSR order, so the build is a batched
-    w-wide dynamic_slice per bucket (a contiguous-run gather — far faster on
-    TPU than an element-scatter) plus a length mask.  One jit for all widths
-    keeps remote-compile count (and tPre) down.
-
-    meta_dev layout: [starts..., lengths..., chunk_rows...], bucket-major.
-    bucket_meta: static tuple of (w, N).
-    """
+    """Legacy packed-upload bucket builder (host ships
+    [starts..., lengths..., chunk_rows...]).  Kept for the GE-SpMM
+    baseline, whose pad-chunk scheme (starts=nnz, dump rows) doesn't fit
+    the row_ptr-derived builder below; the ELL path itself uses
+    :func:`_ell_meta_buckets` (zero uploads)."""
     buckets = []
     off = 0
     for w, N in bucket_meta:
         starts = jax.lax.dynamic_slice(meta_dev, (off,), (N,))
         lengths = jax.lax.dynamic_slice(meta_dev, (total + off,), (N,))
         sl_c = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(col_pad, (s,), (w,))
+            lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
         )(starts)
         sl_v = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(val_pad, (s,), (w,))
+            lambda s, w=w: jax.lax.dynamic_slice(val_pad, (s,), (w,))
         )(starts)
         mask = (
             jax.lax.broadcasted_iota(jnp.int32, (N, w), 1) < lengths[:, None]
@@ -66,6 +61,69 @@ def _build_buckets(col_pad, val_pad, meta_dev, *, bucket_meta, total):
         buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
         off += N
     return tuple(buckets)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
+    """Build the ELL chunk metadata AND every width bucket's [N, w] arrays
+    on device in ONE program, straight from a resident CSR row_ptr —
+    zero host→device transfers (round-3: the packed metadata upload was
+    the largest fixed cost of tPre; the tunnel has a ~0.5 s per-transfer
+    floor, docs/measurements.md).
+
+    How: rows are grouped by width bucket with one stable m-sized argsort
+    (bucket sizes are static, from the host's copy of the degrees); each
+    bucket slices its rows out of the sorted order, recovers chunk starts
+    from row_ptr, and gathers its [N, w] arrays with batched w-wide
+    dynamic_slices (each chunk's nnz are contiguous in CSR order).  Rows
+    longer than the widest bucket expand to multiple chunks with the
+    indicator-cumsum trick.
+
+    meta: (wmax, widths, bucket_meta tuple of (w, n_chunks), n_rows_last).
+    """
+    wmax, widths, bucket_meta, n_rows_last = meta
+    deg = row_ptr[1:] - row_ptr[:-1]
+    w_arr = jnp.asarray(widths, dtype=jnp.int32)
+    wi = jnp.minimum(jnp.searchsorted(w_arr, jnp.maximum(deg, 1)),
+                     len(widths) - 1)
+    wi = jnp.where(deg > 0, wi, len(widths))  # empty rows sort last
+    order = jnp.argsort(wi, stable=True).astype(jnp.int32)
+
+    col_pad = jnp.concatenate([col_dev, jnp.zeros((wmax,), col_dev.dtype)])
+    val_pad = jnp.concatenate([vals_dev, jnp.zeros((wmax,), vals_dev.dtype)])
+
+    buckets, rows_parts = [], []
+    off = 0
+    for w, N in bucket_meta:
+        if w == wmax and n_rows_last != N:
+            # split bucket: N chunks come from n_rows_last distinct rows
+            rl = jax.lax.dynamic_slice(order, (off,), (n_rows_last,))
+            c = -(-deg[rl] // wmax)
+            ofs_ex = jnp.cumsum(c) - c  # exclusive chunk offset per row
+            ind = jnp.zeros((N,), jnp.int32).at[ofs_ex].add(1)
+            idx = jnp.cumsum(ind) - 1   # chunk -> row position in rl
+            rows_b = rl[idx]
+            local = jnp.arange(N, dtype=jnp.int32) - ofs_ex[idx]
+            starts = row_ptr[rows_b] + local * wmax
+            lengths = jnp.clip(deg[rows_b] - local * wmax, 0, wmax)
+            off += n_rows_last
+        else:
+            rows_b = jax.lax.dynamic_slice(order, (off,), (N,))
+            starts = row_ptr[rows_b]
+            lengths = jnp.minimum(deg[rows_b], w)
+            off += N
+        sl_c = jax.vmap(
+            lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
+        )(starts)
+        sl_v = jax.vmap(
+            lambda s, w=w: jax.lax.dynamic_slice(val_pad, (s,), (w,))
+        )(starts)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (N, w), 1) < lengths[:, None]
+        )
+        buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
+        rows_parts.append(rows_b)
+    return tuple(buckets), jnp.concatenate(rows_parts)
 
 
 @functools.partial(
@@ -181,76 +239,76 @@ def ell_padded_nnz(degrees: np.ndarray,
     return int(pad.sum())
 
 
+def prepare_ell_device(
+    row_ptr_dev,
+    col_dev,
+    vals_dev,
+    *,
+    m: int,
+    nnz: int,
+    res_row_ptr_host: np.ndarray,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    b_dtype: str = "float32",
+) -> EllPlan:
+    """Build an :class:`EllPlan` from device-resident CSR arrays with zero
+    host→device transfers: the host computes only the static bucket sizes
+    from its copy of the row_ptr; all chunk metadata and bucket arrays are
+    derived on device by :func:`_ell_meta_buckets`.
+
+    Used directly by the windowed hybrid's residue path (the residue CSR
+    is born on device; one m-sized D2H of its row_ptr is the only
+    transfer) and by :func:`prepare_ell`.
+    """
+    deg = np.diff(res_row_ptr_host).astype(np.int64)
+    wmax = widths[-1]
+    w_arr = np.asarray(widths, dtype=np.int64)
+    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
+                           len(w_arr) - 1)]
+    wor = np.where(deg > wmax, wmax, wor)
+    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
+
+    bucket_meta, padded, n_rows_last = [], 0, 0
+    for w in widths:
+        mask = (wor == w) & (deg > 0)
+        nc = int(n_chunks[mask].sum())
+        if nc == 0:
+            continue
+        if w == wmax:
+            n_rows_last = int(mask.sum())
+        bucket_meta.append((int(w), nc))
+        padded += nc * w
+
+    if not bucket_meta:  # empty graph
+        return EllPlan(
+            m=m, buckets=(), chunk_row=jnp.zeros((0,), jnp.int32),
+            padded_nnz=0, nnz=nnz, b_dtype=b_dtype,
+        )
+
+    buckets, chunk_row = _ell_meta_buckets(
+        row_ptr_dev, col_dev, vals_dev,
+        meta=(wmax, tuple(widths), tuple(bucket_meta), n_rows_last),
+    )
+    return EllPlan(
+        m=m, buckets=buckets, chunk_row=chunk_row,
+        padded_nnz=padded, nnz=nnz, b_dtype=b_dtype,
+    )
+
+
 def prepare_ell(
     g: CSRGraph,
     dev: DeviceCSR | None = None,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     b_dtype: str = "float32",
 ) -> EllPlan:
-    """Host: O(m)+O(chunks) metadata, one packed upload.
-    Device: batched contiguous slices build the buckets."""
+    """Host: O(m) static bucket sizes.  Device: metadata + batched
+    contiguous slices build the buckets — no upload at all (round-3; the
+    previous packed-metadata upload paid the tunnel's ~0.5 s floor)."""
     if dev is None:
         dev = DeviceCSR.from_graph(g)
-    deg = g.degrees.astype(np.int64)
-    m = g.m
-    wmax = widths[-1]
-    w_arr = np.asarray(widths, dtype=np.int64)
-
-    # bucket width per row; split rows live in the widest bucket
-    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
-                           len(w_arr) - 1)]
-    wor = np.where(deg > wmax, wmax, wor).astype(np.int64)
-    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
-
-    # bucket-major chunk layout
-    starts_parts, len_parts, row_parts, bucket_meta = [], [], [], []
-    padded = 0
-    for w in widths:
-        sel = np.where((wor == w) & (n_chunks > 0))[0]
-        if not len(sel):
-            continue
-        ch = n_chunks[sel]
-        rows_rep = np.repeat(sel, ch)
-        cum0 = np.concatenate([[0], np.cumsum(ch)[:-1]])
-        local = np.arange(int(ch.sum()), dtype=np.int64) - np.repeat(cum0, ch)
-        starts = g.row_ptr[rows_rep] + local * w
-        lengths = np.minimum(deg[rows_rep] - local * w, w)
-        starts_parts.append(starts.astype(np.int32))
-        len_parts.append(lengths.astype(np.int32))
-        row_parts.append(rows_rep.astype(np.int32))
-        bucket_meta.append((int(w), len(rows_rep)))
-        padded += len(rows_rep) * w
-
-    if not bucket_meta:  # empty graph
-        return EllPlan(
-            m=m, buckets=(), chunk_row=jnp.zeros((0,), jnp.int32),
-            padded_nnz=0, nnz=g.nnz, b_dtype=b_dtype,
-        )
-
-    # single packed upload: [starts..., lengths..., chunk_rows...]
-    all_starts = np.concatenate(starts_parts)
-    all_lens = np.concatenate(len_parts)
-    all_rows = np.concatenate(row_parts)
-    total = len(all_starts)
-    meta_dev = jnp.asarray(np.concatenate([all_starts, all_lens, all_rows]))
-
-    # pad the CSR arrays once so w-wide slices never run out of bounds
-    col_pad = jnp.concatenate(
-        [dev.col, jnp.zeros((wmax,), jnp.int32)]
-    )
-    val_pad = jnp.concatenate(
-        [dev.vals, jnp.zeros((wmax,), jnp.float32)]
-    )
-
-    buckets = _build_buckets(
-        col_pad, val_pad, meta_dev,
-        bucket_meta=tuple(bucket_meta), total=total,
-    )
-    chunk_row = meta_dev[2 * total :]
-
-    return EllPlan(
-        m=m, buckets=tuple(buckets), chunk_row=chunk_row,
-        padded_nnz=padded, nnz=g.nnz, b_dtype=b_dtype,
+    return prepare_ell_device(
+        dev.row_ptr, dev.col, dev.vals, m=g.m, nnz=g.nnz,
+        res_row_ptr_host=np.asarray(g.row_ptr, dtype=np.int64),
+        widths=widths, b_dtype=b_dtype,
     )
 
 

@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from types import SimpleNamespace
 from typing import Any
 
 import jax
@@ -57,9 +56,15 @@ from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import (
     DeviceCSR, round_up as _round_up, rows_from_row_ptr,
 )
-from flex_tpu.ops.ell_spmm import EllPlan, prepare_ell
+from flex_tpu.ops.ell_spmm import EllPlan, prepare_ell_device
 
-G = 4  # windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
+G = 4  # default windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
+
+# Eligibility thresholds shared with the autotuner's time model
+# (bench/autotune.suggest) so the model never proposes plans the builder
+# refuses (round-2 advisor finding).
+MIN_COVERAGE = 0.15
+MAX_DENSE_BYTES = 6 << 30
 
 
 def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
@@ -83,14 +88,15 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
         return np.asarray(hist(dev.row_ptr, dev.col,
                                shape=(g.nnz, g.m, tm, W, nblk))
                           ).astype(np.int64).reshape(P, nblk)
-    rows = np.repeat(np.arange(g.m, dtype=np.int32), g.degrees)
-    key = (rows // tm) * np.int32(nblk) + g.col.astype(np.int32) // W
+    rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
+    key = (rows // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
     return np.bincount(key, minlength=P * nblk).reshape(P, nblk)
 
 
 def window_select(
     g: CSRGraph, tm: int = 256, W: int = 128, J: int = 1024,
-    min_count: int = 128, dev=None,
+    min_count: int = 128, dev=None, g_step: int = G,
+    step_order: str = "row",
 ) -> dict:
     """Window selection + step layout (shared with the autotuner so
     eligibility and the built format can't drift).
@@ -116,6 +122,11 @@ def window_select(
     J = min(J, 32000)  # slot table is int16 (values ≤ J+1)
     P = max(-(-m // tm), 1)
     nblk = max(-(-g.n // W), 1)
+    if P * nblk >= 2**31:
+        # the (panel, block) key and the slot table are indexed in int32 on
+        # device (round-2 advisor: silent overflow at ~7x amazon scale)
+        raise ValueError(
+            f"P*nblk = {P}*{nblk} exceeds int32 — raise tm/W or shard rows")
     cnt = _panel_block_hist(g, dev, tm, W, P, nblk)
 
     valid = cnt >= max(min_count, 1)
@@ -129,7 +140,24 @@ def window_select(
     nb_per = np.minimum(nb_per, J)
 
     used = np.where(nb_per > 0)[0]
-    S_per = -(-nb_per[used] // G)
+    if step_order == "lex" and len(used):
+        # Step-order pass — the TPU analog of the reference's tile-segment
+        # reordering for cache reuse (``mat.cu:311-678`` dfsSegs /
+        # sliWinSegs): order panels lexicographically by their first-step
+        # block ids so that consecutive grid steps repeat slot-aligned
+        # block ids and the Pallas B-block DMA is skipped (the index map
+        # returns the same block).  Panel permutation is free: the output
+        # row_gather absorbs it.
+        pw0, bw0 = np.nonzero(valid)
+        pf = np.r_[True, np.diff(pw0) != 0]
+        seg_start = np.where(pf)[0]  # one per used panel, in `used` order
+        keys = np.full((len(used), g_step), nblk, dtype=np.int64)
+        for j in range(g_step):
+            has = nb_per[used] > j
+            keys[has, j] = bw0[seg_start[has] + j]
+        order = np.lexsort(tuple(keys[:, j] for j in range(g_step - 1, -1, -1)))
+        used = used[order]
+    S_per = -(-nb_per[used] // g_step)
     total_steps = int(S_per.sum())
     step_of = np.repeat(np.arange(len(used), dtype=np.int64), S_per)
     first = np.zeros(total_steps, dtype=np.int32)
@@ -145,7 +173,7 @@ def window_select(
     # out grouped by panel with blocks ascending — no sort needed (the
     # previous per-panel sort over the full (P, nblk) matrix cost ~8 min
     # at amazon scale).
-    win_step = np.full(total_steps * G, nblk, dtype=np.int32)
+    win_step = np.full(total_steps * g_step, nblk, dtype=np.int32)
     slot = np.zeros(P * nblk, dtype=np.int16)  # slot values ≤ J+1 ≤ 2^15
     if len(used):
         pw, bw = np.nonzero(valid)
@@ -156,13 +184,14 @@ def window_select(
             nb_per[pw[panel_first]])
         dense_of_panel = np.full(P, -1, dtype=np.int64)
         dense_of_panel[used] = np.arange(len(used))
-        flat_slot = step_starts[dense_of_panel[pw]] * G + jj
+        flat_slot = step_starts[dense_of_panel[pw]] * g_step + jj
         win_step[flat_slot] = bw.astype(np.int32)
         slot[pw * nblk + bw] = (jj + 1).astype(np.int16)
 
     covered = int(cnt[valid].sum())
-    a_elems = total_steps * tm * G * W
+    a_elems = total_steps * tm * g_step * W
     return {
+        "G": g_step,
         "win_step": win_step,
         "out_panel": step_of.astype(np.int32),
         "first": first,
@@ -180,6 +209,23 @@ def window_select(
     }
 
 
+def sel_device_tables(sel: dict) -> dict:
+    """Upload the selection tables (slot lookup, per-step layout) once and
+    cache the device arrays inside ``sel``.  The autotuner computes the
+    selection anyway (shared time model); reusing its tables keeps the
+    timed prepare free of H2D transfers — the tunnel moves ~35 MB/s with a
+    ~0.5 s per-transfer floor (docs/measurements.md)."""
+    if "dev_tables" not in sel:
+        sel["dev_tables"] = {
+            "slot": jnp.asarray(sel["slot"]),
+            "pstep0": jnp.asarray(sel["pstep0"].astype(np.int32)),
+            "first": jnp.asarray(sel["first"]),
+            "out_panel": jnp.asarray(sel["out_panel"]),
+            "win_step": jnp.asarray(sel["win_step"]),
+        }
+    return sel["dev_tables"]
+
+
 @functools.partial(jax.jit, static_argnames=("layout",))
 def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
                     *, layout):
@@ -193,12 +239,18 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     (searchsorted over nnz is ~200x slower on this chip —
     docs/measurements.md).
 
-    Returns (A [total_steps, TM, G*W], res_col, res_vals, res_deg);
+    Round-3 build: exactly TWO nnz-sized scatters (the dominant cost at
+    ~268 ms / 23M updates each) — vals into the dense A buffer, and the
+    residue source-index compaction; residue (col, val) then come from two
+    cheap n_res gathers, and the residue row_ptr falls out of the
+    miss-cumsum with one (m+1)-gather instead of a third scatter.
+
+    Returns (A [total_steps, TM, G*W], res_col, res_vals, res_row_ptr);
     residue entries keep CSR order, so the ELL builder's
     contiguous-slice layout stays valid.
     """
-    nnz, m, TM, W, nblk, n_res, total_steps = layout
-    a_elems = total_steps * TM * G * W
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step = layout
+    a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
     blk = dev_col // W
@@ -210,20 +262,22 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # Misses scatter to an out-of-bounds index and get dropped — no dump
     # slot, no post-slice copy of the multi-GB buffer (the copy doubled
     # transient HBM and OOM'd near the 6 GB dense cap).
-    flat = ((pstep0[p] + j // G) * (TM * G * W)
-            + (rows % TM) * (G * W) + (j % G) * W + dev_col % W)
+    flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+            + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
     A = jnp.zeros((a_elems,), jnp.float32).at[
         jnp.where(hit, flat, a_elems)
-    ].add(dev_vals, mode="drop").reshape(total_steps, TM, G * W)
+    ].add(dev_vals, mode="drop").reshape(total_steps, TM, g_step * W)
 
-    res_pos = jnp.cumsum(~hit) - 1  # int32-safe: nnz < 2^31
-    pos = jnp.where(hit, n_res, res_pos)
-    res_col = jnp.zeros((n_res,), jnp.int32).at[pos].set(
-        dev_col, mode="drop")
-    res_vals = jnp.zeros((n_res,), jnp.float32).at[pos].set(
-        dev_vals, mode="drop")
-    res_deg = jnp.zeros((m,), jnp.int32).at[rows].add((~hit).astype(jnp.int32))
-    return A, res_col, res_vals, res_deg
+    miss_cum = jnp.cumsum((~hit).astype(jnp.int32))  # int32-safe: nnz < 2^31
+    pos = jnp.where(hit, n_res, miss_cum - 1)
+    res_src = jnp.zeros((n_res,), jnp.int32).at[pos].set(
+        jnp.arange(nnz, dtype=jnp.int32), mode="drop")
+    res_col = dev_col[res_src]
+    res_vals = dev_vals[res_src]
+    # residue row_ptr = exclusive miss count at each row boundary
+    miss_cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), miss_cum])
+    res_row_ptr = miss_cum0[dev_row_ptr]
+    return A, res_col, res_vals, res_row_ptr
 
 
 def _make_window_kernel(precision):
@@ -294,10 +348,11 @@ def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
     accumulated into the panel's output block (consecutive steps share
     the block; `first` re-initialises it)."""
     total_steps, TM, GW = A.shape
+    g_step = GW // W
 
     def b_spec(gi):
         return pl.BlockSpec(
-            (W, k), lambda s, f, op, ws, gi=gi: (ws[s * G + gi], 0),
+            (W, k), lambda s, f, op, ws, gi=gi: (ws[s * g_step + gi], 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -307,7 +362,7 @@ def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
         in_specs=[
             pl.BlockSpec((1, TM, GW), lambda s, f, op, ws: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            *[b_spec(gi) for gi in range(G)],
+            *[b_spec(gi) for gi in range(g_step)],
         ],
         out_specs=pl.BlockSpec((TM, k), lambda s, f, op, ws: (op[s], 0),
                                memory_space=pltpu.VMEM),
@@ -317,7 +372,7 @@ def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_panels * TM, k), jnp.float32),
         interpret=interpret,
-    )(first, out_panel, win_step, A, *([B_pad] * G))
+    )(first, out_panel, win_step, A, *([B_pad] * g_step))
 
 
 def _window_xla(win_step, A, B_pad, out_panel_np, *, n_panels, W, k,
@@ -326,7 +381,7 @@ def _window_xla(win_step, A, B_pad, out_panel_np, *, n_panels, W, k,
     then a segment-style accumulation over each panel's steps) — the
     baseline the Pallas path must beat."""
     total_steps, TM, GW = A.shape
-    idx = (win_step.reshape(total_steps, G)[:, :, None] * W
+    idx = (win_step.reshape(total_steps, GW // W)[:, :, None] * W
            + jnp.arange(W, dtype=jnp.int32)[None, None, :])
     Bw = B_pad[idx.reshape(total_steps, GW)]  # [S, G*W, k]
     out = jnp.einsum("stw,swk->stk", A, Bw, precision=precision,
@@ -409,8 +464,9 @@ class WindowedPlan:
         this chip the dense part is usually MXU-HIGHEST-bound, not
         byte-bound (docs/measurements.md)."""
         st = self.stats
+        g_step = (int(self.A.shape[2]) // self.W) if self.A.ndim == 3 else G
         by = (st["dense_bytes"]
-              + st["n_steps"] * G * self.W * k * 4
+              + st["n_steps"] * g_step * self.W * k * 4
               + 3 * self.m * k * 4)
         res = self.ell.traffic_model(k) if self.ell.nnz else {"bytes": 0}
         return {"bytes": int(by) + res["bytes"]}
@@ -423,22 +479,31 @@ def prepare_windowed(
     W: int = 128,
     J: int = 1024,
     min_count: int = 128,
-    min_coverage: float = 0.15,
-    max_dense_bytes: int = 6 << 30,
+    min_coverage: float = MIN_COVERAGE,
+    max_dense_bytes: int = MAX_DENSE_BYTES,
     b_dtype: str = "float32",
     interpret: bool | None = None,
     impl: str = "pallas",
     sel: dict | None = None,
+    g_step: int = G,
+    step_order: str = "row",
 ) -> WindowedPlan:
     """Build the hybrid plan; refuses (ValueError) when windows would cover
     less than ``min_coverage`` of nnz (pure ELL wins there — the coverage
-    model is shared with the autotuner via :func:`window_select`)."""
+    model is shared with the autotuner via :func:`window_select`).
+
+    When ``sel`` comes from the autotuner (``bench.autotune.suggest``), its
+    selection tables are reused — including their device copies
+    (:func:`sel_device_tables`) — so the timed prepare does the O(nnz)
+    device build and the residue ELL build with zero host→device uploads."""
     if dev is None:
         dev = DeviceCSR.from_graph(g)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if sel is None:
-        sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count, dev=dev)
+        sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count,
+                            dev=dev, g_step=g_step, step_order=step_order)
+    g_step = sel.get("G", g_step)
     if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
         raise ValueError(
             f"windowed dense array too big: {sel['dense_bytes']/1e9:.2f} GB")
@@ -448,11 +513,10 @@ def prepare_windowed(
             f"use 'ell' (or apply a clustering ordering like rbdeg first)")
 
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
-    A, res_col, res_vals, res_deg_dev = _build_windowed(
-        dev.row_ptr, dev.col, dev.vals,
-        jnp.asarray(sel["slot"]),
-        jnp.asarray(sel["pstep0"].astype(np.int32)),
-        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"]),
+    tabs = sel_device_tables(sel)
+    A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
+        dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
+        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step),
     )
 
     # output assembly: graph row r of panel p lives at concat row
@@ -468,20 +532,18 @@ def prepare_windowed(
     rg[(used[:, None] * tm + np.arange(tm)[None, :]).ravel()] = \
         blockrows.ravel()
 
-    res_deg = np.asarray(res_deg_dev).astype(np.int64)
-    res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
-    np.cumsum(res_deg, out=res_row_ptr[1:])
-    g_res = SimpleNamespace(m=g.m, n=g.n, nnz=n_res, row_ptr=res_row_ptr,
-                            degrees=res_deg)
-    dev_res = DeviceCSR(row_ptr=dev.row_ptr, col=res_col, vals=res_vals,
-                        m=g.m, n=g.n, nnz=n_res)
-    ell = prepare_ell(g_res, dev=dev_res, b_dtype=b_dtype)
+    # one m-sized D2H (the only transfer in the residue path); the ELL
+    # metadata is then built on device from res_row_ptr
+    res_row_ptr = np.asarray(res_row_ptr_dev).astype(np.int64)
+    ell = prepare_ell_device(res_row_ptr_dev, res_col, res_vals,
+                             m=g.m, nnz=n_res,
+                             res_row_ptr_host=res_row_ptr, b_dtype=b_dtype)
 
     return WindowedPlan(
         m=g.m, n=g.n, tm=tm, W=W, n_used_panels=len(used), A=A,
-        first=jnp.asarray(sel["first"]),
-        out_panel=jnp.asarray(sel["out_panel"]),
-        win_step=jnp.asarray(sel["win_step"]),
+        first=tabs["first"],
+        out_panel=tabs["out_panel"],
+        win_step=tabs["win_step"],
         row_gather=jnp.asarray(rg.astype(np.int32)),
         ell=ell, coverage=sel["coverage"], interpret=interpret, impl=impl,
     )

@@ -252,7 +252,7 @@ def prepare_windowed_sharded(
             jnp.asarray(sel["slot"]),
             jnp.asarray(sel["pstep0"].astype(np.int32)),
             layout=(gs.nnz, gs.m, tm, W, nblk, sel["n_res"],
-                    sel["total_steps"]),
+                    sel["total_steps"], sel["G"]),
         )
         S = sel["total_steps"]
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]

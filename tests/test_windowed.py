@@ -123,6 +123,49 @@ def test_windowed_grad_matches_xla_impl():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_windowed_lex_step_order():
+    """Panel permutation by lexicographic first-step block ids (the
+    mat.cu:311-678 seg-reordering analog) must not change results or
+    coverage — only the step order."""
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    a = window_select(g, tm=256, W=128, J=4, min_count=32)
+    b = window_select(g, tm=256, W=128, J=4, min_count=32,
+                      step_order="lex")
+    assert a["coverage"] == b["coverage"]
+    assert a["total_steps"] == b["total_steps"]
+    assert sorted(a["used"]) == sorted(b["used"])
+    plan = _check(g, "pallas", tm=256, W=128, J=4, min_count=32,
+                  step_order="lex")
+    assert 0.15 < plan.coverage < 1.0
+
+
+@pytest.mark.parametrize("g_step", [2, 8])
+def test_windowed_g_step(g_step):
+    """Windows-per-step is a tunable (G=4 default; the sweep explores
+    2/8); results must match at any G."""
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    plan = _check(g, "pallas", tm=256, W=128, J=8, min_count=16,
+                  g_step=g_step)
+    assert plan.A.shape[2] == g_step * 128
+
+
+def test_windowed_sel_reuse_identical():
+    """prepare_windowed(sel=...) (the autotuner's shared selection, with
+    device-resident tables) must produce the same plan as a fresh
+    prepare."""
+    g = community_graph(2048, 150_000, n_comm=4, seed=7, shuffle=False)
+    B = make_features(g, 16)
+    sel = window_select(g, tm=256, W=128, J=4, min_count=16)
+    p1 = prepare_windowed(g, tm=256, W=128, J=4, min_count=16, sel=sel)
+    p2 = prepare_windowed(g, tm=256, W=128, J=4, min_count=16)
+    np.testing.assert_array_equal(np.asarray(p1.A), np.asarray(p2.A))
+    np.testing.assert_allclose(np.asarray(p1(jnp.asarray(B))),
+                               np.asarray(p2(jnp.asarray(B))))
+    assert "dev_tables" in sel  # tables cached for the next prepare
+
+
 def test_windowed_variable_steps():
     """Panels own variable numbers of G-window steps; the fat tail beyond
     the J cap is truncated to residue and the hybrid still matches."""
