@@ -28,11 +28,12 @@ import numpy as np
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.tiling.stats import tile_stats
 
-ELL_NS_PER_PAD = 7.3e-9
-WIN_US_PER_WINDOW = 0.6e-6
+ELL_NS_PER_PAD = 7.3e-9     # at k=128; the chain is byte-bound, so ∝ k
+WIN_US_PER_WINDOW = 0.6e-6  # at k=128; MXU-bound, so ∝ k
 MXU_HIGHEST = 8.9e12
 HBM = 250e9
 FIXED_OVERHEAD = 4e-3  # dispatch + output assembly floor
+_CAL_K = 128  # k at which the constants above were measured
 
 
 @dataclasses.dataclass
@@ -43,10 +44,10 @@ class Suggestion:
     model: dict | None = None  # predicted seconds per candidate
 
 
-def _t_ell(degrees) -> float:
+def _t_ell(degrees, k: int = 128) -> float:
     from flex_tpu.ops.ell_spmm import ell_padded_nnz
 
-    return ell_padded_nnz(degrees) * ELL_NS_PER_PAD
+    return ell_padded_nnz(degrees) * ELL_NS_PER_PAD * k / _CAL_K
 
 
 def suggest(
@@ -77,7 +78,7 @@ def suggest(
             {"tm": band_tm},
         )
 
-    model: dict[str, float] = {"ell": _t_ell(g.degrees) + FIXED_OVERHEAD}
+    model: dict[str, float] = {"ell": _t_ell(g.degrees, k) + FIXED_OVERHEAD}
 
     # windowed: share the builder's own selection (window_select) so the
     # model and the built format agree — including the eligibility
@@ -92,8 +93,9 @@ def suggest(
         n_win = sel["total_steps"] * sel["G"]
         # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
         # pad ratio (exact per-row degrees are only computed on device)
-        model["windowed"] = (n_win * WIN_US_PER_WINDOW
-                             + sel["n_res"] * 1.12 * ELL_NS_PER_PAD
+        model["windowed"] = ((n_win * WIN_US_PER_WINDOW
+                              + sel["n_res"] * 1.12 * ELL_NS_PER_PAD)
+                             * k / _CAL_K
                              + FIXED_OVERHEAD)
 
     # panel: dense-A over per-panel deduplicated columns + hub row-split.

@@ -449,5 +449,18 @@ def ppi_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(14_755, 458_973, seed=seed, name="ppi_like")
 
 
+def ppi_comm(seed: int = 0) -> CSRGraph:
+    """PPI proxy (reference README.md:16: 14,755 nodes / 458,973 nnz).
+    The GraphSAGE PPI dataset is 24 DISJOINT tissue graphs (~615 nodes
+    each) — block structure, no cross-tissue edges — hence
+    intra_frac=1.0 over 24 communities.  Sizes exact; within-tissue
+    degree shape is the generator's lognormal default (assumption,
+    documented; not tuned against any kernel)."""
+    return community_graph(
+        14_755, 458_973, n_comm=24, intra_frac=1.0, comm_zipf=0.3,
+        seed=seed, name="ppi_comm",
+    )
+
+
 def amazon_like(seed: int = 0) -> CSRGraph:
     return rmat_graph(1_569_960, 264_339_468, seed=seed, name="amazon_like")

@@ -79,9 +79,14 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
     longer than the widest bucket expand to multiple chunks with the
     indicator-cumsum trick.
 
-    meta: (wmax, widths, bucket_meta tuple of (w, n_chunks), n_rows_last).
+    meta: (wmax, widths, bucket_meta tuple of (w, n_alloc, n_real),
+    n_rows_last).  ``n_alloc >= n_real`` lets multi-shard callers pad every
+    shard's buckets to common shapes (shard_map's uniform-shape rule); pad
+    chunks slice the zero region past nnz (length 0, row 0 — a zero-valued
+    scatter contribution).
     """
     wmax, widths, bucket_meta, n_rows_last = meta
+    nnz = col_dev.shape[0]
     deg = row_ptr[1:] - row_ptr[:-1]
     w_arr = jnp.asarray(widths, dtype=jnp.int32)
     wi = jnp.minimum(jnp.searchsorted(w_arr, jnp.maximum(deg, 1)),
@@ -94,7 +99,7 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
 
     buckets, rows_parts = [], []
     off = 0
-    for w, N in bucket_meta:
+    for w, n_alloc, N in bucket_meta:
         if w == wmax and n_rows_last != N:
             # split bucket: N chunks come from n_rows_last distinct rows
             rl = jax.lax.dynamic_slice(order, (off,), (n_rows_last,))
@@ -112,6 +117,14 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
             starts = row_ptr[rows_b]
             lengths = jnp.minimum(deg[rows_b], w)
             off += N
+        if n_alloc > N:
+            pad = n_alloc - N
+            rows_b = jnp.concatenate(
+                [rows_b, jnp.zeros((pad,), rows_b.dtype)])
+            starts = jnp.concatenate(
+                [starts, jnp.full((pad,), nnz, starts.dtype)])
+            lengths = jnp.concatenate(
+                [lengths, jnp.zeros((pad,), lengths.dtype)])
         sl_c = jax.vmap(
             lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
         )(starts)
@@ -119,7 +132,8 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
             lambda s, w=w: jax.lax.dynamic_slice(val_pad, (s,), (w,))
         )(starts)
         mask = (
-            jax.lax.broadcasted_iota(jnp.int32, (N, w), 1) < lengths[:, None]
+            jax.lax.broadcasted_iota(jnp.int32, (n_alloc, w), 1)
+            < lengths[:, None]
         )
         buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
         rows_parts.append(rows_b)
@@ -239,6 +253,29 @@ def ell_padded_nnz(degrees: np.ndarray,
     return int(pad.sum())
 
 
+def host_bucket_sizes(deg: np.ndarray, widths: tuple[int, ...]):
+    """Static bucket sizes from a host degree array: returns
+    (chunks_by_width dict, n_rows_last, padded_nnz) — the only host-side
+    input the device metadata builder needs."""
+    wmax = widths[-1]
+    w_arr = np.asarray(widths, dtype=np.int64)
+    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
+                           len(w_arr) - 1)]
+    wor = np.where(deg > wmax, wmax, wor)
+    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
+    by_w, padded, n_rows_last = {}, 0, 0
+    for w in widths:
+        mask = (wor == w) & (deg > 0)
+        nc = int(n_chunks[mask].sum())
+        if nc == 0:
+            continue
+        if w == wmax:
+            n_rows_last = int(mask.sum())
+        by_w[int(w)] = nc
+        padded += nc * w
+    return by_w, n_rows_last, padded
+
+
 def prepare_ell_device(
     row_ptr_dev,
     col_dev,
@@ -249,6 +286,7 @@ def prepare_ell_device(
     res_row_ptr_host: np.ndarray,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     b_dtype: str = "float32",
+    bucket_alloc: dict | None = None,
 ) -> EllPlan:
     """Build an :class:`EllPlan` from device-resident CSR arrays with zero
     host→device transfers: the host computes only the static bucket sizes
@@ -257,26 +295,20 @@ def prepare_ell_device(
 
     Used directly by the windowed hybrid's residue path (the residue CSR
     is born on device; one m-sized D2H of its row_ptr is the only
-    transfer) and by :func:`prepare_ell`.
+    transfer) and by :func:`prepare_ell`.  ``bucket_alloc`` (width →
+    allocated chunk count ≥ the real count) lets the sharded path pad
+    every shard's buckets to common shapes.
     """
     deg = np.diff(res_row_ptr_host).astype(np.int64)
-    wmax = widths[-1]
-    w_arr = np.asarray(widths, dtype=np.int64)
-    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
-                           len(w_arr) - 1)]
-    wor = np.where(deg > wmax, wmax, wor)
-    n_chunks = np.where(deg > 0, -(-deg // wor), 0)
+    by_w, n_rows_last, padded = host_bucket_sizes(deg, widths)
 
-    bucket_meta, padded, n_rows_last = [], 0, 0
-    for w in widths:
-        mask = (wor == w) & (deg > 0)
-        nc = int(n_chunks[mask].sum())
-        if nc == 0:
-            continue
-        if w == wmax:
-            n_rows_last = int(mask.sum())
-        bucket_meta.append((int(w), nc))
-        padded += nc * w
+    if bucket_alloc is not None:
+        live = [w for w in widths if bucket_alloc.get(int(w), 0) > 0]
+        bucket_meta = [(int(w), int(bucket_alloc[int(w)]), by_w.get(int(w), 0))
+                       for w in live]
+        padded = sum(a * w for w, a, _ in bucket_meta)
+    else:
+        bucket_meta = [(w, nc, nc) for w, nc in by_w.items()]
 
     if not bucket_meta:  # empty graph
         return EllPlan(
@@ -286,7 +318,7 @@ def prepare_ell_device(
 
     buckets, chunk_row = _ell_meta_buckets(
         row_ptr_dev, col_dev, vals_dev,
-        meta=(wmax, tuple(widths), tuple(bucket_meta), n_rows_last),
+        meta=(widths[-1], tuple(widths), tuple(bucket_meta), n_rows_last),
     )
     return EllPlan(
         m=m, buckets=buckets, chunk_row=chunk_row,

@@ -9,24 +9,27 @@ HBM-capacity-gated at amazon scale on ONE chip but fits per row shard):
   shards, as shard_map's uniform-shape rule requires; pad steps hit an
   extra dump panel with sentinel B blocks and zero A), and each device
   runs the same Pallas program on its shard against a replicated B.
-- the **residue** across all shards forms one global residue CSR (host
-  mask pass) and rides :func:`flex_tpu.parallel.prepare_ell_sharded`,
-  which balances rows by residue nnz *independently* — the two parts
-  produce full [m, k] outputs under their own row partitions and sum,
-  so their shard boundaries need not agree.
+- the **residue** stays on each shard's device (it is an output of the
+  shard's format build) and forms a sharded ELL under the SAME row
+  bounds as the dense part; both parts produce full [m, k] outputs and
+  sum.
 
 Like the single-chip plan, row ownership is exclusive by construction:
 no inter-chip reduction exists for either part (C rows are disjoint per
 shard).
 
-Known limitation (documented, beyond-reference scope): the per-shard
-dense formats are built by per-shard device programs, not yet by a
-distributed build — on real multi-chip hardware the build serialises
-through the default device one shard at a time (each shard's A is moved
-to its own device as soon as it is built, so the default device's
-high-water mark is ~one shard's dense array, not the full format), and
-the per-shard CSR slices are uploaded from host rather than sliced from
-a resident DeviceCSR.
+Round-3 build (VERDICT r02 item 8): the build is fully device-resident.
+Per-shard CSR slices are cut from the resident :class:`DeviceCSR` on
+device (the row bounds are static) and moved to the shard's own mesh
+device (ICI on real hardware — never back through the host), the dense
+format AND the residue ELL buckets are built by device programs executing
+on that device, and the host ships only O(P·nblk) selection tables per
+shard.  No nnz-sized host array is touched: the builder works from a
+graph handle that only needs (m, n, nnz, row_ptr, degrees) on host.
+
+The residue shares the dense shards' row bounds (its chunks are born on
+each shard's device); per-shard residue nnz may be less balanced than
+the total-nnz split — reported in ``stats['res_imbalance']``.
 """
 from __future__ import annotations
 
@@ -44,7 +47,7 @@ from flex_tpu.ops.window_spmm import (
     window_select,
 )
 from flex_tpu.parallel.spmm_sharded import (
-    ShardedEllPlan, _split_rows_by_nnz, prepare_ell_sharded,
+    ShardedEllPlan, _split_rows_by_nnz,
 )
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
@@ -71,6 +74,7 @@ class ShardedWindowedPlan:
     interpret: bool
     impl: str = "pallas"
     precision: Any = jax.lax.Precision.HIGHEST
+    res_shard_nnz: tuple = ()
     fn: Any = None
 
     def __call__(self, B) -> jax.Array:
@@ -126,7 +130,7 @@ class ShardedWindowedPlan:
 
     @property
     def stats(self) -> dict:
-        return {
+        d = {
             "n_shards": len(self.row_bounds),
             "coverage": round(self.coverage, 4),
             "dense_bytes": int(np.prod(self.A.shape)) * 4,
@@ -134,25 +138,30 @@ class ShardedWindowedPlan:
             "n_res": self.ell.nnz,
             "impl": self.impl,
         }
+        if self.res_shard_nnz:
+            avg = max(sum(self.res_shard_nnz) / len(self.res_shard_nnz), 1)
+            d["res_imbalance"] = round(max(self.res_shard_nnz) / avg - 1, 3)
+        return d
 
 
 def _swin_flatten(p: ShardedWindowedPlan):
     children = (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell)
     aux = (p.mesh, p.axis, p.m, p.n, p.tm, p.W, tuple(p.row_bounds),
            p.m_shard_pad, p.n_panels_pad, p.coverage, p.interpret, p.impl,
-           p.precision)
+           p.precision, tuple(p.res_shard_nnz))
     return children, aux
 
 
 def _swin_unflatten(aux, children):
     (mesh, axis, m, n, tm, W, bounds, m_pad, n_pan, cov, interp, impl,
-     prec) = aux
+     prec, res_nnz) = aux
     return ShardedWindowedPlan(
         mesh=mesh, axis=axis, m=m, n=n, tm=tm, W=W,
         row_bounds=list(bounds), m_shard_pad=m_pad, n_panels_pad=n_pan,
         A=children[0], first=children[1], out_panel=children[2],
         win_step=children[3], row_gather=children[4], ell=children[5],
         coverage=cov, interpret=interp, impl=impl, precision=prec,
+        res_shard_nnz=res_nnz,
     )
 
 
@@ -173,41 +182,67 @@ def prepare_windowed_sharded(
     max_dense_bytes: int = 6 << 30,
     impl: str = "pallas",
     interpret: bool | None = None,
+    dev: DeviceCSR | None = None,
 ) -> ShardedWindowedPlan:
     """Shard rows by nnz; per shard run the single-chip window selection
-    and device format build; residues recombine into one global CSR for
-    the sharded ELL path.  Refuses (ValueError) when total coverage is
-    below ``min_coverage`` or any shard's dense format exceeds
-    ``max_dense_bytes`` (also the _build_windowed int32 index guard —
-    same rules as the single-chip plan)."""
+    and device format build ON the shard's own device; residues stay on
+    their shard and form a same-bounds sharded ELL.  Refuses (ValueError)
+    when total coverage is below ``min_coverage`` or any shard's dense
+    format exceeds ``max_dense_bytes`` (also the _build_windowed int32
+    index guard — same rules as the single-chip plan).
+
+    ``g`` only needs host (m, n, nnz, row_ptr, degrees); nnz-sized data
+    comes from the resident ``dev`` (uploaded once by the loader,
+    reference ``cuda_alloc_cpy`` ``DataLoader.cu:167-218``)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     axis = axis or mesh.axis_names[0]
     D = mesh.shape[axis]
+    if dev is None:
+        dev = DeviceCSR.from_graph(g)
     bounds = _split_rows_by_nnz(g, D)
     nblk = max(-(-g.n // W), 1)
 
-    # --- per-shard selection (host) + hit masks ---------------------------
-    sels, shard_graphs = [], []
-    for r0, r1 in bounds:
+    # mesh devices along the sharded axis (devices on other axes replicate)
+    sh = NamedSharding(mesh, P(axis, None, None, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+
+    # --- per-shard: device CSR slice -> own device -> select + build ------
+    sels, shard_devs, shard_meta = [], [], []
+    probe_shape = (D, 1, 1, 1)
+    shard_of_device = {
+        dvc: (idx[0].start or 0)
+        for dvc, idx in sh.addressable_devices_indices_map(probe_shape).items()
+    }
+    devices_of_shard: dict[int, list] = {}
+    for dvc, s_idx in shard_of_device.items():
+        devices_of_shard.setdefault(s_idx, []).append(dvc)
+
+    for d_idx, (r0, r1) in enumerate(bounds):
         ms = r1 - r0
         s0, s1 = int(g.row_ptr[r0]), int(g.row_ptr[r1])
-        gs = SimpleNamespace(
-            m=ms, n=g.n, nnz=s1 - s0,
-            row_ptr=g.row_ptr[r0:r1 + 1] - g.row_ptr[r0],
-            degrees=g.degrees[r0:r1],
-            col=g.col[s0:s1],
-        )
-        sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count)
+        home = devices_of_shard[d_idx][0]
+        # static-bound slices of the resident CSR, moved device-to-device
+        # (ICI on real hardware) — the host never re-ships nnz data
+        row_ptr_s = jax.device_put(
+            dev.row_ptr[r0:r1 + 1] - dev.row_ptr[r0], home)
+        col_s = jax.device_put(dev.col[s0:s1], home)
+        vals_s = jax.device_put(dev.vals[s0:s1], home)
+        dev_s = DeviceCSR(row_ptr=row_ptr_s, col=col_s, vals=vals_s,
+                          m=ms, n=g.n, nnz=s1 - s0)
+        gs = SimpleNamespace(m=ms, n=g.n, nnz=s1 - s0)
+        sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count,
+                            dev=dev_s)
         if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
             raise ValueError(
                 f"shard [{r0},{r1}) dense array too big: "
                 f"{sel['dense_bytes']/1e9:.2f} GB — raise min_count or "
                 f"use more shards")
         sels.append(sel)
-        shard_graphs.append((gs, s0, s1))
-    covered = sum(round(s["coverage"] * gs.nnz)
-                  for s, (gs, _, _) in zip(sels, shard_graphs))
+        shard_devs.append(dev_s)
+        shard_meta.append((r0, r1, home))
+    covered = sum(round(s["coverage"] * d.nnz)
+                  for s, d in zip(sels, shard_devs))
     coverage = covered / max(g.nnz, 1)
     if coverage < min_coverage:
         raise ValueError(
@@ -220,50 +255,34 @@ def prepare_windowed_sharded(
     n_panels_pad = U_max + 1  # + dump panel for padded steps
     m_shard_pad = P_max * tm
     zero_row = n_panels_pad * tm  # index of the appended zero row
-
-    # Per-shard device placement: each shard's dense A moves to its own
-    # mesh device as soon as it is built, then the global array is
-    # assembled from the single-device shards — the full [D, ...] stack
-    # never materialises on one chip (review round-2 finding: stacking
-    # first would need the whole unsharded footprint on the default
-    # device, defeating the capacity purpose of sharding).
-    sh = NamedSharding(mesh, P(axis, None, None, None))
-    sh2 = NamedSharding(mesh, P(axis, None))
     A_shape = (D, S_max, tm, G * W)
-    # device -> which dim-0 shard it holds (devices on other mesh axes
-    # replicate their shard)
-    shard_of_device = {
-        dvc: (idx[0].start or 0)
-        for dvc, idx in sh.addressable_devices_indices_map(A_shape).items()
-    }
+
+    from flex_tpu.ops.ell_spmm import host_bucket_sizes
+    from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
 
     A_per_device: dict = {}
     first_sh, op_sh, ws_sh, rg_sh = [], [], [], []
-    res_masks, res_degs = [], []
-    for d_idx, ((gs, s0, s1), sel) in enumerate(zip(shard_graphs, sels)):
-        dev_s = DeviceCSR(
-            row_ptr=jnp.asarray(gs.row_ptr.astype(np.int64)),
-            col=jnp.asarray(gs.col.astype(np.int32)),
-            vals=jnp.asarray(g.vals[s0:s1]),
-            m=gs.m, n=gs.n, nnz=gs.nnz,
-        )
-        A, _, _, _ = _build_windowed(
-            dev_s.row_ptr, dev_s.col, dev_s.vals,
-            jnp.asarray(sel["slot"]),
-            jnp.asarray(sel["pstep0"].astype(np.int32)),
-            layout=(gs.nnz, gs.m, tm, W, nblk, sel["n_res"],
+    shard_residues = []
+    for d_idx, (dev_s, sel) in enumerate(zip(shard_devs, sels)):
+        r0, r1, home = shard_meta[d_idx]
+        # tables upload O(P·nblk) to the shard's device; the O(nnz) build
+        # then executes there (its inputs are committed to `home`)
+        slot_d = jax.device_put(sel["slot"], home)
+        pstep0_d = jax.device_put(sel["pstep0"].astype(np.int32), home)
+        A, res_col, res_vals, res_rp = _build_windowed(
+            dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
+            layout=(dev_s.nnz, dev_s.m, tm, W, nblk, sel["n_res"],
                     sel["total_steps"], sel["G"]),
         )
         S = sel["total_steps"]
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
-        # move this shard to its device(s) NOW — the build device's
-        # high-water mark stays at ~one shard's dense array
-        for dvc, shard in shard_of_device.items():
-            if shard == d_idx:
-                moved = jax.device_put(A_pad, dvc)
-                moved.block_until_ready()
-                A_per_device[dvc] = moved
-        del A, A_pad, dev_s
+        for dvc in devices_of_shard[d_idx]:
+            moved = jax.device_put(A_pad, dvc)
+            moved.block_until_ready()
+            A_per_device[dvc] = moved
+        del A, A_pad
+        shard_residues.append((res_col, res_vals, res_rp,
+                               np.asarray(res_rp).astype(np.int64)))
         first_sh.append(np.pad(sel["first"], (0, S_max - S),
                                constant_values=1))
         op_sh.append(np.pad(sel["out_panel"], (0, S_max - S),
@@ -271,7 +290,7 @@ def prepare_windowed_sharded(
         ws_sh.append(np.pad(sel["win_step"], (0, (S_max - S) * G),
                             constant_values=nblk))
         used = sel["used"]
-        P_s = -(-gs.m // tm)
+        P_s = -(-dev_s.m // tm)
         row_src = np.full(P_s, -1, dtype=np.int64)
         row_src[used] = np.arange(len(used))
         rg = np.full((P_s, tm), zero_row, dtype=np.int64)
@@ -280,30 +299,25 @@ def prepare_windowed_sharded(
         rg_full = np.full(m_shard_pad, zero_row, dtype=np.int64)
         rg_full[:P_s * tm] = rg.ravel()
         rg_sh.append(rg_full.astype(np.int32))
-        # residue mask on host (avoids an nnz-sized D2H round trip; the
-        # slot table is the same one the device build consumes)
-        rows_s = np.repeat(np.arange(gs.m, dtype=np.int64), gs.degrees)
-        key = (rows_s // tm) * nblk + gs.col.astype(np.int64) // W
-        miss = sel["slot"][key] == 0
-        res_masks.append(miss)
-        res_degs.append(np.bincount(rows_s[miss], minlength=gs.m))
 
     A_stack = jax.make_array_from_single_device_arrays(
-        A_shape, sh, list(A_per_device.values()))
+        A_shape, sh, [A_per_device[dvc]
+                      for dvc in shard_of_device])
     first_st = jax.device_put(np.stack(first_sh), sh2)
     op_st = jax.device_put(np.stack(op_sh), sh2)
     ws_st = jax.device_put(np.stack(ws_sh), sh2)
     rg_st = jax.device_put(np.stack(rg_sh), sh2)
 
-    # --- global residue graph -> independently balanced sharded ELL ------
-    res_deg = np.concatenate(res_degs)
-    res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
-    np.cumsum(res_deg, out=res_row_ptr[1:])
-    miss_all = np.concatenate(res_masks)
-    g_res = CSRGraph.from_arrays(
-        res_row_ptr, g.col[miss_all], g.vals[miss_all],
-        name=f"{g.name}_res", order=g.order)
-    ell = prepare_ell_sharded(g_res, mesh, axis=axis)
+    # --- residue: per-shard device ELL under the SAME row bounds ---------
+    # common (maxed) bucket allocation so every shard shares one program
+    allocs: dict[int, int] = {}
+    for *_, rp_host in shard_residues:
+        by_w, _, _ = host_bucket_sizes(np.diff(rp_host), SHARDED_WIDTHS)
+        for w, nc in by_w.items():
+            allocs[w] = max(allocs.get(w, 0), nc)
+    ell = _assemble_sharded_residue(
+        mesh, axis, g, bounds, shard_residues, allocs, m_shard_pad,
+        devices_of_shard, shard_of_device)
 
     return ShardedWindowedPlan(
         mesh=mesh, axis=axis, m=g.m, n=g.n, tm=tm, W=W,
@@ -311,4 +325,63 @@ def prepare_windowed_sharded(
         n_panels_pad=n_panels_pad, A=A_stack, first=first_st,
         out_panel=op_st, win_step=ws_st, row_gather=rg_st, ell=ell,
         coverage=coverage, interpret=interpret, impl=impl,
+        res_shard_nnz=tuple(int(rp[-1]) for *_, rp in shard_residues),
+    )
+
+
+def _assemble_sharded_residue(mesh, axis, g, bounds, shard_residues,
+                              allocs, m_shard_pad, devices_of_shard,
+                              shard_of_device) -> ShardedEllPlan:
+    """Per-shard residue CSR (already resident on each shard's device) →
+    one :class:`ShardedEllPlan` with common bucket shapes, assembled from
+    single-device arrays — nothing moves through the host."""
+    from flex_tpu.ops.ell_spmm import prepare_ell_device
+    from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
+
+    D = len(bounds)
+    if not allocs:  # zero residue everywhere
+        import jax.numpy as _jnp
+
+        return ShardedEllPlan(
+            mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
+            m_shard_pad=m_shard_pad, buckets=(),
+            chunk_row=_jnp.zeros((0,), _jnp.int32), nnz=0, padded_nnz=0)
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    plans = []
+    total_res = 0
+    for d_idx, (res_col, res_vals, res_rp, rp_host) in \
+            enumerate(shard_residues):
+        n_res = int(rp_host[-1])
+        total_res += n_res
+        plans.append(prepare_ell_device(
+            res_rp, res_col, res_vals, m=bounds[d_idx][1] - bounds[d_idx][0],
+            nnz=n_res, res_row_ptr_host=rp_host, widths=SHARDED_WIDTHS,
+            bucket_alloc=allocs))
+    live_ws = [w for w in SHARDED_WIDTHS if allocs.get(int(w), 0) > 0]
+    buckets = []
+    for b_i, w in enumerate(live_ws):
+        per_dev_c, per_dev_v = {}, {}
+        for dvc, s_idx in shard_of_device.items():
+            c, v = plans[s_idx].buckets[b_i]
+            per_dev_c[dvc] = jax.device_put(c[None], dvc)
+            per_dev_v[dvc] = jax.device_put(v[None], dvc)
+        N = allocs[int(w)]
+        cs = jax.make_array_from_single_device_arrays(
+            (D, N, w), sh3, [per_dev_c[dvc] for dvc in shard_of_device])
+        vs = jax.make_array_from_single_device_arrays(
+            (D, N, w), sh3, [per_dev_v[dvc] for dvc in shard_of_device])
+        buckets.append((cs, vs))
+    n_chunks_pad = sum(allocs[int(w)] for w in live_ws)
+    per_dev_cr = {
+        dvc: jax.device_put(plans[s_idx].chunk_row[None], dvc)
+        for dvc, s_idx in shard_of_device.items()
+    }
+    chunk_row = jax.make_array_from_single_device_arrays(
+        (D, n_chunks_pad), sh2, [per_dev_cr[dvc] for dvc in shard_of_device])
+    return ShardedEllPlan(
+        mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
+        m_shard_pad=m_shard_pad, buckets=tuple(buckets),
+        chunk_row=chunk_row, nnz=total_res,
+        padded_nnz=sum(p.padded_nnz for p in plans),
     )

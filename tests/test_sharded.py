@@ -78,6 +78,33 @@ def test_sharded_windowed_matches_scipy(n_dev):
                                rtol=1e-6)
 
 
+def test_sharded_windowed_builds_from_resident_device_csr():
+    """The sharded windowed build must never touch host nnz-sized arrays
+    (VERDICT r02 item 8): it gets a graph HANDLE carrying only O(m) host
+    metadata (no .col/.vals at all) plus the resident DeviceCSR, and must
+    still build a correct plan — device slices + device residue only."""
+    from types import SimpleNamespace
+
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.parallel import prepare_windowed_sharded
+    from flex_tpu.reorder import reorder
+    from flex_tpu.sparse.device import DeviceCSR
+
+    g = reorder(community_graph(4000, 300_000, n_comm=4, seed=8), "rbdeg",
+                check=False)
+    dev = DeviceCSR.from_graph(g)
+    handle = SimpleNamespace(m=g.m, n=g.n, nnz=g.nnz, row_ptr=g.row_ptr,
+                             degrees=g.degrees)
+    mesh = make_mesh(4)
+    plan = prepare_windowed_sharded(handle, mesh, tm=256, W=128,
+                                    min_count=16, dev=dev)
+    B = make_features(g, 16)
+    chk = res_check(spmm_scipy(g, B), np.asarray(plan(jnp.asarray(B))),
+                    g.degrees)
+    assert chk.ok, f"{chk} stats={plan.stats}"
+    assert "res_imbalance" in plan.stats
+
+
 @needs_8dev
 def test_sharded_windowed_refuses_scattered():
     from flex_tpu.io.synth import uniform_graph
