@@ -63,11 +63,15 @@ CACHE = f"/tmp/reddit_posts_rbdeg_v{CACHE_VERSION}.npz"
 EXPECT_M, EXPECT_NNZ = 232_965, 23_446_803
 K = 128
 
-# calibration-probe acceptance floors: well below the measured norms
-# (docs/measurements.md: 76 TF/s f32 matmul, 195-300 GB/s HBM stream)
-# so normal variance passes, but the r02-style 15x collapse fails.
-PROBE_MATMUL_MIN_TFLOPS = 25.0
-PROBE_STREAM_MIN_GBPS = 80.0
+# calibration-probe acceptance floors.  Healthy serial-chain readings on
+# this chip (2026-08-17, docs/measurements.md): matmul 126-180 TF/s
+# (DEFAULT f32 = one bf16 MXU pass), stream 550-800 GB/s, gather
+# 208-214 M rows/s (very stable).  Floors sit at ~half of healthy so
+# normal variance passes but the observed degradation episodes (gather
+# chain 2x slow; r02's 15x collapse) fail.
+PROBE_MATMUL_MIN_TFLOPS = 50.0
+PROBE_STREAM_MIN_GBPS = 250.0
+PROBE_GATHER_MIN_MROWS = 130.0
 RESULT = "/tmp/flex_tpu_bench_result.json"
 
 
@@ -100,30 +104,73 @@ def _load_graph():
 
 
 def _probe(tag: str) -> dict:
-    """Calibration probe: realized matmul TF/s + HBM stream GB/s, checked
-    against docs/measurements.md constants."""
+    """Calibration probe: realized matmul TF/s, HBM stream GB/s, and
+    gather-engine M rows/s, checked against docs/measurements.md.
+
+    Each rate is measured as a SERIAL dependency chain inside one jitted
+    ``fori_loop`` (iteration i+1 consumes iteration i's output), timed at
+    two chain lengths with the delta taken — independent repeated
+    dispatches of identical computations are NOT reliably serialized by
+    the relay (they measured 213 TF/s "matmul"), and the fixed ~34 ms
+    D2H sync floor would otherwise dominate."""
+    import functools
+
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
-    from flex_tpu.bench.harness import _sync, _time_device
+    from flex_tpu.bench.harness import _sync
+
+    def chain_time(body, y0, lo=4, hi=24):
+        import time as _t
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(y, *, n):
+            return jax.lax.fori_loop(0, n, body, y)
+
+        ts = {}
+        for n in (lo, hi):
+            out = chain(y0, n=n)
+            _sync(out)  # compile + warm
+            t0 = _t.perf_counter()
+            _sync(chain(y0, n=n))
+            ts[n] = _t.perf_counter() - t0
+        return max((ts[hi] - ts[lo]) / (hi - lo), 1e-9)
 
     n = 4096
-    x = jnp.ones((n, n), jnp.float32)
-    mm = jax.jit(lambda a: a @ a)
-    t_mm = _time_device(mm, x, iters=20, warmup=3)
+    x = jnp.full((n, n), 1.0 / n, jnp.float32)
+    t_mm = chain_time(lambda i, y: y @ x, jnp.ones((n, n), jnp.float32))
     tflops = 2 * n**3 / t_mm / 1e12
 
     s = jnp.ones((32 * 1024 * 1024,), jnp.float32)  # 128 MB
-    st = jax.jit(lambda a: a * 1.000001 + 1e-12)
-    t_st = _time_device(st, s, iters=20, warmup=3)
+    t_st = chain_time(lambda i, y: y * 1.000001 + 1e-12, s)
     gbps = 2 * s.size * 4 / t_st / 1e9
-    _sync(x)
-    ok = tflops >= PROBE_MATMUL_MIN_TFLOPS and gbps >= PROBE_STREAM_MIN_GBPS
+
+    # gather probe: the headline's residue chain is gather-engine-bound,
+    # and the gather engine degrades INDEPENDENTLY of matmul/stream on
+    # this chip (observed 2x on 2026-08-17; docs/measurements.md) —
+    # 2M random 512 B rows + consume-reduce per link
+    tbl = jnp.ones((233_000, 128), jnp.float32)
+    idx = jnp.asarray(_np.random.default_rng(0).integers(
+        0, 233_000, 2_000_000, dtype=_np.int32))
+
+    def ga_body(i, c):
+        off = jnp.minimum(c.astype(jnp.int32), 0)  # 0, but data-dependent
+        return tbl[idx + off].sum(axis=0)[0] * 1e-7
+
+    t_ga = chain_time(ga_body, jnp.float32(0.0), lo=2, hi=10)
+    grate = 2_000_000 / t_ga / 1e6
+
+    ok = (tflops >= PROBE_MATMUL_MIN_TFLOPS
+          and gbps >= PROBE_STREAM_MIN_GBPS
+          and grate >= PROBE_GATHER_MIN_MROWS)
     log(f"[probe:{tag}] matmul {tflops:.1f} TF/s (floor "
         f"{PROBE_MATMUL_MIN_TFLOPS}), stream {gbps:.1f} GB/s (floor "
-        f"{PROBE_STREAM_MIN_GBPS}) -> {'ok' if ok else 'DEGRADED'}")
+        f"{PROBE_STREAM_MIN_GBPS}), gather {grate:.0f} M rows/s (floor "
+        f"{PROBE_GATHER_MIN_MROWS}) -> {'ok' if ok else 'DEGRADED'}")
     return {"tag": tag, "matmul_tflops": round(tflops, 1),
-            "stream_gbps": round(gbps, 1), "ok": ok}
+            "stream_gbps": round(gbps, 1),
+            "gather_mrows": round(grate, 1), "ok": ok}
 
 
 def worker(out_path: str) -> None:
@@ -172,6 +219,10 @@ def worker(out_path: str) -> None:
     dev_kw = {"dev": dev} \
         if method in ("ell", "band", "windowed", "gespmm") else {}
     plan = prepare(g, **dev_kw, **prep_kwargs)
+    # sync the same pytree structure the timed region syncs — the sync
+    # concat itself compiles once per plan structure, and that compile
+    # must happen HERE, not inside the timed prepare
+    _sync(getattr(plan, "__dict__", plan))
     Bw = jnp.zeros((g.n, K), jnp.float32)
     _sync(plan(Bw))
     del plan, Bw
@@ -241,7 +292,7 @@ def worker(out_path: str) -> None:
         from flex_tpu.ops.ell_spmm import prepare_ell
 
         plan3 = prepare_ell(g, dev=dev)  # warm the build executables
-        _sync(plan3.chunk_row)
+        _sync(plan3.__dict__)  # incl. the per-structure sync concat
         del plan3
         r2 = bench_spmm(g, K, method="ell", iters=10, check=False, dev=dev)
         log(f"[secondary] ell: tPre={r2.t_pre:.2f}s "

@@ -68,9 +68,11 @@ def main():
                     kw["dev"] = dev
                 print(f"{name} k={k}: auto -> {sug.method} ({sug.reason})",
                       flush=True)
-                # cold pass: compile executables + upload selection tables
+                # cold pass: compile executables (incl. the per-structure
+                # sync concat) + upload selection tables
                 t0 = time.time()
                 plan = _resolve_prepare(sug.method)(g, **kw)
+                _sync(getattr(plan, "__dict__", plan))
                 _sync(plan(jnp.zeros((g.n, k), jnp.float32)))
                 t_cold = time.time() - t0
                 del plan

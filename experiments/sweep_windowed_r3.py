@@ -24,15 +24,14 @@ from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
 
 CONFIGS = [
-    # (tm, W, mc, G, step_order)
-    (256, 128, 128, 4, "row"),   # round-2 default
-    (256, 128, 64, 4, "row"),
-    (256, 128, 48, 4, "row"),
-    (256, 128, 64, 8, "row"),
-    (256, 128, 48, 8, "row"),
-    (256, 64, 32, 8, "row"),
-    (256, 128, 64, 4, "lex"),
-    (256, 128, 48, 8, "lex"),
+    # (tm, W, mc, G, step_order, max_dense_bytes)
+    # round 2 of the sweep: the 6 GB dense cap (set when the build had a
+    # transient copy, since removed) was the binding constraint at mc<64;
+    # probe the capacity frontier + the finer tm granularity
+    (256, 128, 56, 4, "row", 8 << 30),
+    (256, 128, 48, 4, "row", 9 << 30),
+    (128, 128, 32, 4, "row", 6 << 30),
+    (128, 128, 24, 4, "row", 8 << 30),
 ]
 
 
@@ -47,12 +46,13 @@ def main():
         (g.n, k), dtype=np.float32))
     print(f"graph {g}; k={k}", flush=True)
 
-    for tm, W, mc, gs, so in CONFIGS:
+    for tm, W, mc, gs, so, cap in CONFIGS:
         tag = f"tm={tm} W={W} mc={mc} G={gs} so={so}"
         try:
             t0 = time.time()
             plan = prepare_windowed(g, dev=dev, tm=tm, W=W, min_count=mc,
-                                    g_step=gs, step_order=so)
+                                    g_step=gs, step_order=so,
+                                    max_dense_bytes=cap)
             _sync(plan.__dict__)
             t_pre_cold = time.time() - t0
             _sync(plan(B))  # compile

@@ -29,7 +29,8 @@ from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.tiling.stats import tile_stats
 
 ELL_NS_PER_PAD = 7.3e-9     # at k=128; the chain is byte-bound, so ∝ k
-WIN_US_PER_WINDOW = 0.6e-6  # at k=128; MXU-bound, so ∝ k
+WIN_US_PER_WINDOW = 0.4e-6  # at k=128; MXU-bound, so ∝ k (r3 sweep:
+                            # 16.5 ms / 48.7K windows = 0.34 µs at scale)
 MXU_HIGHEST = 8.9e12
 HBM = 250e9
 FIXED_OVERHEAD = 4e-3  # dispatch + output assembly floor
@@ -52,7 +53,7 @@ def _t_ell(degrees, k: int = 128) -> float:
 
 def suggest(
     g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512,
-    win_tm: int = 256, win_W: int = 128, win_min_count: int = 128,
+    win_tm: int = 256, win_W: int = 128, win_min_count: int = 64,
     dev=None,
 ) -> Suggestion:
     """Static time-model decision from format statistics (no device
@@ -89,6 +90,11 @@ def suggest(
     )
 
     sel = window_select(g, dev=dev, **win_kwargs)
+    if sel["dense_bytes"] > MAX_DENSE_BYTES and win_min_count < 128:
+        # denser-graph escape hatch: the aggressive default min_count may
+        # blow the dense cap where a coarser selection still pays
+        win_kwargs["min_count"] = 128
+        sel = window_select(g, dev=dev, **win_kwargs)
     if sel["coverage"] >= MIN_COVERAGE and sel["dense_bytes"] <= MAX_DENSE_BYTES:
         n_win = sel["total_steps"] * sel["G"]
         # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
@@ -132,7 +138,7 @@ def suggest(
 def autotune(
     g: CSRGraph,
     k: int = 128,
-    methods: Sequence[str] = ("ell", "windowed", "panel", "xla"),
+    methods: Sequence[str] = ("ell", "windowed", "panel", "xla", "bcoo"),
     iters: int = 3,
     check: bool = False,
 ):

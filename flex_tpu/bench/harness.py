@@ -30,10 +30,11 @@ ROOFLINE = {
     "v5p": {"hbm": 2765e9, "bf16": 459e12, "f32": 115e12},
 }
 
-# Measured sustained HBM stream on the attached chip (docs/measurements.md:
-# 195-300 GB/s through the axon relay); "hbm_frac" report columns are
-# relative to this, the roof a kernel can actually reach here.
-HBM_MEASURED = 250e9
+# Measured sustained HBM stream on the attached chip (docs/measurements.md
+# round-3 serial-chain probe: 550-800 GB/s; the earlier 195-300 figure was
+# sync-floor-polluted); "hbm_frac" report columns are relative to this,
+# the roof a kernel can actually reach here.
+HBM_MEASURED = 600e9
 
 
 @dataclasses.dataclass
@@ -90,7 +91,8 @@ def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float
     (reference flex.cu:5047-5067 does 5 warmup + 10 timed).  The device
     executes launches in order, so timing N dispatches between two host
     syncs measures N kernel executions plus one small D2H."""
-    for _ in range(warmup):
+    out = fn(*args)  # always at least one un-timed dispatch (compile)
+    for _ in range(max(warmup - 1, 0)):
         out = fn(*args)
     _sync(out)
     t0 = time.perf_counter()
