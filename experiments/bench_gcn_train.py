@@ -24,7 +24,7 @@ from flex_tpu.ops.window_spmm import prepare_windowed
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
 
-d = np.load("/tmp/reddit_posts_rbdeg.npz")
+d = np.load("/tmp/reddit_posts_rbdeg_v3.npz")
 g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
                          name="reddit_posts", order="RBD")
 dev = DeviceCSR.from_graph(g)
@@ -36,7 +36,7 @@ mask = jnp.ones((g.m,), jnp.float32)
 opt = optax.adam(1e-2)
 
 for name, prep in (("windowed", lambda: prepare_windowed(
-                        g, dev=dev, tm=256, W=128, min_count=128)),
+                        g, dev=dev, tm=256, W=128, min_count=64)),
                    ("ell", lambda: prepare_ell(g, dev=dev))):
     plan = prep()
     params = model.init(jax.random.PRNGKey(0))

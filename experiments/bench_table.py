@@ -82,6 +82,9 @@ def main():
                 r.extra["cold_s"] = round(t_cold, 1)
                 print(_fmt(r), f"cold={t_cold:.0f}s", flush=True)
                 results.append(r)
+                # incremental write: a timeout mid-run still leaves the
+                # artifact with every completed row
+                write_csv(results, "docs/headline_table.csv")
             except Exception as e:
                 print(f"{name} k={k}: FAILED {type(e).__name__}: {e}",
                       flush=True)

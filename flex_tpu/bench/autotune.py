@@ -45,10 +45,17 @@ class Suggestion:
     model: dict | None = None  # predicted seconds per candidate
 
 
+def _k_factor(k: int) -> float:
+    """Below k=128 the chains run at k=128 cost (the ELL path pads B to
+    the 128-lane layout — sub-128 lanes measured 3-19x slower — and the
+    windowed path is step-overhead-bound: k=32 measured ≈ k=128)."""
+    return max(k, _CAL_K) / _CAL_K
+
+
 def _t_ell(degrees, k: int = 128) -> float:
     from flex_tpu.ops.ell_spmm import ell_padded_nnz
 
-    return ell_padded_nnz(degrees) * ELL_NS_PER_PAD * k / _CAL_K
+    return ell_padded_nnz(degrees) * ELL_NS_PER_PAD * _k_factor(k)
 
 
 def suggest(
@@ -101,7 +108,7 @@ def suggest(
         # pad ratio (exact per-row degrees are only computed on device)
         model["windowed"] = ((n_win * WIN_US_PER_WINDOW
                               + sel["n_res"] * 1.12 * ELL_NS_PER_PAD)
-                             * k / _CAL_K
+                             * _k_factor(k)
                              + FIXED_OVERHEAD)
 
     # panel: dense-A over per-panel deduplicated columns + hub row-split.

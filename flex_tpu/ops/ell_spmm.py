@@ -158,6 +158,16 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
         return jnp.zeros((m, k), jnp.float32)
     if b_dtype != "float32":
         B = B.astype(b_dtype)
+    # Sub-128-lane layouts are pathological on TPU (k=32 measured 19x
+    # slower than k=128 on the same graph: last-dim-32 tensors pad 4x in
+    # registers and the gather chain loses its vector layout).  Gathers
+    # are row-rate-bound, so padding B's feature dim to 128 costs ~zero
+    # wall time and restores the measured-fast path; the result is
+    # sliced back at the end.
+    kp = 128 if k < 128 else k
+    if kp != k:
+        B = jnp.concatenate(
+            [B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)
     # NB: concat-then-one-scatter measured FASTER than per-sub-batch
     # scatter-adds into C (49.7 vs 60.3 ms on the reddit_posts residue —
     # XLA fuses the multiply-reduce into the concat better than into many
@@ -175,7 +185,8 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
                 (v[:, :, None] * Bg.astype(jnp.float32)).sum(axis=1)
             )
     partial = jnp.concatenate(parts, axis=0)
-    return jnp.zeros((out_rows, k), jnp.float32).at[chunk_row].add(partial)[:m]
+    out = jnp.zeros((out_rows, kp), jnp.float32).at[chunk_row].add(partial)
+    return out[:m, :k]
 
 
 @dataclasses.dataclass

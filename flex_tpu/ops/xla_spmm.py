@@ -31,9 +31,16 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("m",))
 def _spmm_edges(rows, cols, vals, B, *, m):
-    gathered = jnp.take(B, cols, axis=0)  # [E, k]
+    # sub-128-lane layouts are pathological on TPU (3-19x, measured on
+    # the ELL chain — docs/measurements.md); pad the feature dim, slice
+    # the result (gathers are row-rate-bound so the padding is ~free)
+    k = B.shape[1]
+    if k < 128:
+        B = jnp.concatenate(
+            [B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1)
+    gathered = jnp.take(B, cols, axis=0)  # [E, kp]
     contrib = gathered * vals[:, None]
-    return jax.ops.segment_sum(contrib, rows, num_segments=m)
+    return jax.ops.segment_sum(contrib, rows, num_segments=m)[:, :k]
 
 
 @dataclasses.dataclass
