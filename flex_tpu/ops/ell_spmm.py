@@ -166,8 +166,11 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
     # sliced back at the end.
     kp = 128 if k < 128 else k
     if kp != k:
-        B = jnp.concatenate(
-            [B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)
+        # the barrier keeps the padded operand opaque: XLA otherwise
+        # distributes the gather over the concat (gather(concat(B, 0))
+        # -> concat(gather(B), 0)) and recreates the narrow-lane chain
+        B = jax.lax.optimization_barrier(jnp.concatenate(
+            [B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1))
     # NB: concat-then-one-scatter measured FASTER than per-sub-batch
     # scatter-adds into C (49.7 vs 60.3 ms on the reddit_posts residue —
     # XLA fuses the multiply-reduce into the concat better than into many
@@ -186,6 +189,10 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
             )
     partial = jnp.concatenate(parts, axis=0)
     out = jnp.zeros((out_rows, kp), jnp.float32).at[chunk_row].add(partial)
+    if kp != k:
+        # stop XLA sinking the final slice back through the chain (it
+        # would narrow the lanes again and undo the padding)
+        out = jax.lax.optimization_barrier(out)
     return out[:m, :k]
 
 

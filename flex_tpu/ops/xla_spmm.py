@@ -36,11 +36,16 @@ def _spmm_edges(rows, cols, vals, B, *, m):
     # the result (gathers are row-rate-bound so the padding is ~free)
     k = B.shape[1]
     if k < 128:
-        B = jnp.concatenate(
-            [B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1)
+        # barrier: stop XLA distributing the gather over the concat and
+        # recreating the narrow-lane chain (see ell_spmm)
+        B = jax.lax.optimization_barrier(jnp.concatenate(
+            [B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1))
     gathered = jnp.take(B, cols, axis=0)  # [E, kp]
     contrib = gathered * vals[:, None]
-    return jax.ops.segment_sum(contrib, rows, num_segments=m)[:, :k]
+    out = jax.ops.segment_sum(contrib, rows, num_segments=m)
+    if B.shape[1] != k:
+        out = jax.lax.optimization_barrier(out)  # keep the wide layout
+    return out[:, :k]
 
 
 @dataclasses.dataclass
