@@ -11,15 +11,22 @@ import os
 
 import numpy as np
 
+from flex_tpu.io.native import parse_number_line
 from flex_tpu.sparse.csr import CSRGraph
 
 
 def load_csv(path: str, seed: int = 0) -> CSRGraph:
-    """Load a 3-line CSV CSR file; values are synthesised for amazon.csv."""
+    """Load a 3-line CSV CSR file; values are synthesised for amazon.csv.
+
+    Line parsing rides the C++ native (``io/_native/fastcsv.cc`` — the
+    analog of the reference's native DataLoader parse,
+    ``DataLoader.cu:19-54``) with a NumPy fallback; at amazon scale the
+    native parses 264M numbers in seconds vs ~17 s for np.loadtxt.
+    """
     name = os.path.basename(path).split(".")[0]
-    with open(path) as f:
-        row_ptr = np.loadtxt([f.readline()], delimiter=",", dtype=np.int64, ndmin=1)
-        col = np.loadtxt([f.readline()], delimiter=",", dtype=np.int64, ndmin=1)
+    with open(path, "rb") as f:
+        row_ptr = parse_number_line(f.readline().strip(), np.int64)
+        col = parse_number_line(f.readline().strip(), np.int64)
         vals_line = f.readline().strip()
 
     if name == "amazon" or not vals_line:
@@ -27,7 +34,7 @@ def load_csv(path: str, seed: int = 0) -> CSRGraph:
         rng = np.random.default_rng(seed)
         vals = (2.0 * rng.random(len(col)) - 1.0).astype(np.float32)
     else:
-        vals = np.loadtxt([vals_line], delimiter=",", dtype=np.float32, ndmin=1)
+        vals = parse_number_line(vals_line, np.float32)
 
     if len(col) != len(vals):
         raise ValueError(f"{path}: col/vals length mismatch {len(col)} vs {len(vals)}")

@@ -1,0 +1,101 @@
+"""ctypes bindings + lazy build for the C++ CSV parse native.
+
+Same pattern as :mod:`flex_tpu.reorder.native`: compiled with g++ on first
+use, library filename keyed by a content hash of the source (a stale or
+foreign-ISA binary can never be picked up), -mtune (ISA-portable), and a
+pure-NumPy fallback so the framework works without a toolchain.
+
+The reference's DataLoader parses its 3-line CSV in native C++
+(``DataLoader.cu:19-54``); this native parses each line in parallel at
+several hundred M numbers/s vs ~16 M/s for np.loadtxt — at amazon scale
+(264M nnz) that is seconds vs the better part of a minute.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_native", "fastcsv.cc")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, "_native", f"libflexcsv-{h}.so")
+
+
+def _build(lib_path: str) -> None:
+    cmd = [
+        "g++", "-O3", "-mtune=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", _SRC, "-o", lib_path,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                _build(lib_path)
+            lib = ctypes.CDLL(lib_path)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            lib.flex_csv_count.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64]
+            lib.flex_csv_count.restype = ctypes.c_int64
+            lib.flex_csv_parse_i64.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, i64p, ctypes.c_int64,
+                ctypes.c_int]
+            lib.flex_csv_parse_i64.restype = ctypes.c_int64
+            lib.flex_csv_parse_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, f32p, ctypes.c_int64,
+                ctypes.c_int]
+            lib.flex_csv_parse_f32.restype = ctypes.c_int64
+            _lib = lib
+        except Exception as e:  # toolchain missing / compile failure
+            _build_error = str(e)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_NTHREADS = min(os.cpu_count() or 1, 16)
+
+
+def parse_number_line(line: bytes, dtype) -> np.ndarray:
+    """Parse one comma-separated number line into a NumPy array.
+
+    Uses the C++ native when available; falls back to ``np.fromstring``
+    (itself ~2.5x faster than np.loadtxt).  ``line`` must be stripped of
+    trailing newline/whitespace.
+    """
+    dtype = np.dtype(dtype)
+    if not line:
+        return np.empty(0, dtype=dtype)
+    lib = _load()
+    if lib is None:
+        return np.fromstring(line.decode(), sep=",", dtype=dtype)
+    n = lib.flex_csv_count(line, len(line))
+    out = np.empty(n, dtype=np.int64 if dtype.kind == "i" else np.float32)
+    fn = (lib.flex_csv_parse_i64 if dtype.kind == "i"
+          else lib.flex_csv_parse_f32)
+    got = fn(line, len(line), out, n, _NTHREADS)
+    if got != n:  # malformed input — fall back to NumPy's parser
+        return np.fromstring(line.decode(), sep=",", dtype=dtype)
+    return out.astype(dtype, copy=False)

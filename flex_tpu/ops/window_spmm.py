@@ -232,7 +232,11 @@ def sel_device_tables(sel: dict) -> dict:
     ~0.5 s per-transfer floor (docs/measurements.md)."""
     if "dev_tables" not in sel:
         sel["dev_tables"] = {
-            "slot": jnp.asarray(sel["slot"]),
+            # ships int16 (halves the P·nblk upload) but lands int32: the
+            # build's nnz-sized slot gather runs 157 vs 200 ms from an
+            # int32 table (experiments/tpre_breakdown.py) — the cast is a
+            # one-time O(P·nblk) op outside the timed prepare
+            "slot": jnp.asarray(sel["slot"]).astype(jnp.int32),
             "pstep0": jnp.asarray(sel["pstep0"].astype(np.int32)),
             "first": jnp.asarray(sel["first"]),
             "out_panel": jnp.asarray(sel["out_panel"]),
@@ -279,6 +283,10 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # transient HBM and OOM'd near the 6 GB dense cap).
     flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
             + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
+    # Stays .add even though a set-scatter is 200 vs 268 ms at 23M updates
+    # (experiments/tpre_breakdown.py): CSRGraph permits duplicate
+    # (row, col) entries whose values must SUM (test_duplicates.py) — .set
+    # would silently keep one.
     A = jnp.zeros((a_elems,), jnp.float32).at[
         jnp.where(hit, flat, a_elems)
     ].add(dev_vals, mode="drop").reshape(total_steps, TM, g_step * W)
