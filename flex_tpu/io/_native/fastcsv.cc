@@ -136,8 +136,12 @@ int64_t parse_line(const char* buf, int64_t len, T* out, int64_t n,
   for (int c = 0; c < nc; ++c) off[c + 1] = off[c] + cnt[c];
   if (off[nc] > n) return -1;  // caller's buffer too small
 
-  // pass 2: parse each chunk into its slice
+  // pass 2: parse each chunk into its slice.  A token whose scan stops
+  // before the next comma (e.g. "foo") marks the chunk bad -> the whole
+  // parse returns -2 and the Python caller falls back to NumPy's parser
+  // (silently emitting 0 for garbage would corrupt the graph).
   std::vector<int64_t> got(nc);
+  std::vector<char> bad(nc, 0);
   {
     std::vector<std::thread> th;
     for (int c = 0; c < nc; ++c)
@@ -147,18 +151,26 @@ int64_t parse_line(const char* buf, int64_t len, T* out, int64_t n,
         T* o = out + off[c];
         int64_t i = 0;
         while (p < end && i < cnt[c]) {
-          const char* before = p;
           o[i++] = parse(p, end);
+          while (p < end && (*p == ' ' || *p == '\t')) ++p;
           if (p < end && *p == ',') ++p;
-          else if (p == before) ++p;  // unparsable byte (defensive)
+          else if (p < end) {  // scan stalled mid-token: malformed input
+            bad[c] = 1;
+            const void* nx = memchr(p, ',', static_cast<size_t>(end - p));
+            p = nx ? static_cast<const char*>(nx) + 1 : end;
+          }
         }
         got[c] = i;
       });
     for (auto& t : th) t.join();
   }
   int64_t total = 0;
-  for (int c = 0; c < nc; ++c) total += got[c];
-  return total == off[nc] ? total : -2;
+  bool any_bad = false;
+  for (int c = 0; c < nc; ++c) {
+    total += got[c];
+    any_bad |= bad[c] != 0;
+  }
+  return (!any_bad && total == off[nc]) ? total : -2;
 }
 
 }  // namespace

@@ -81,21 +81,42 @@ _NTHREADS = min(os.cpu_count() or 1, 16)
 def parse_number_line(line: bytes, dtype) -> np.ndarray:
     """Parse one comma-separated number line into a NumPy array.
 
-    Uses the C++ native when available; falls back to ``np.fromstring``
+    Uses the C++ native when available, ``np.fromstring`` otherwise
     (itself ~2.5x faster than np.loadtxt).  ``line`` must be stripped of
-    trailing newline/whitespace.
+    trailing newline/whitespace.  Malformed input raises ValueError — a
+    silently partial/zero-filled parse would surface later as a
+    corrupted graph.
     """
     dtype = np.dtype(dtype)
     if not line:
         return np.empty(0, dtype=dtype)
     lib = _load()
     if lib is None:
-        return np.fromstring(line.decode(), sep=",", dtype=dtype)
+        return _numpy_parse(line, dtype)
     n = lib.flex_csv_count(line, len(line))
     out = np.empty(n, dtype=np.int64 if dtype.kind == "i" else np.float32)
     fn = (lib.flex_csv_parse_i64 if dtype.kind == "i"
           else lib.flex_csv_parse_f32)
     got = fn(line, len(line), out, n, _NTHREADS)
-    if got != n:  # malformed input — fall back to NumPy's parser
-        return np.fromstring(line.decode(), sep=",", dtype=dtype)
+    if got != n:  # native flagged unparsable bytes
+        raise ValueError(
+            f"malformed number line (expected {n} comma-separated "
+            f"{dtype.name} values): {line[:80]!r}...")
     return out.astype(dtype, copy=False)
+
+
+def _numpy_parse(line: bytes, dtype: np.dtype) -> np.ndarray:
+    """No-toolchain fallback.  np.fromstring's sep-mode partial parse on
+    bad input is deprecated in favour of raising — do the future-proof
+    check now so both paths agree that malformed input is an error."""
+    import warnings
+
+    n = line.count(b",") + 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        out = np.fromstring(line.decode(), sep=",", dtype=dtype)
+    if out.shape[0] != n:
+        raise ValueError(
+            f"malformed number line (expected {n} comma-separated "
+            f"{dtype.name} values): {line[:80]!r}...")
+    return out
