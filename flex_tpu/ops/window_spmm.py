@@ -197,16 +197,26 @@ def window_select(
     # stays async until the final sync).  Costs one O(nnz) host pass at
     # selection time.
     res_deg = None
+    unique_rc = False
     if getattr(g, "col", None) is not None and getattr(
             g, "degrees", None) is not None:
         rows_h = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
         key_h = (rows_h // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
         res_deg = np.bincount(rows_h[slot[key_h] == 0], minlength=m
                               ).astype(np.int64)
+        # duplicate-(row,col) detection rides the same pass: when columns
+        # are sorted within rows (every loader/generator emits that) a
+        # duplicate is an adjacent equal pair.  Unsorted rows stay
+        # conservative (False -> the build scatter uses .add).
+        if nnz > 1:
+            same_row = rows_h[1:] == rows_h[:-1]
+            if not np.any(same_row & (g.col[1:] < g.col[:-1])):
+                unique_rc = not np.any(same_row & (g.col[1:] == g.col[:-1]))
 
     return {
         "G": g_step,
         "res_deg": res_deg,
+        "unique_rc": unique_rc,
         "win_step": win_step,
         "out_panel": step_of.astype(np.int32),
         "first": first,
@@ -268,7 +278,7 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     residue entries keep CSR order, so the ELL builder's
     contiguous-slice layout stays valid.
     """
-    nnz, m, TM, W, nblk, n_res, total_steps, g_step = layout
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
@@ -283,13 +293,15 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # transient HBM and OOM'd near the 6 GB dense cap).
     flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
             + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
-    # Stays .add even though a set-scatter is 200 vs 268 ms at 23M updates
-    # (experiments/tpre_breakdown.py): CSRGraph permits duplicate
-    # (row, col) entries whose values must SUM (test_duplicates.py) — .set
-    # would silently keep one.
-    A = jnp.zeros((a_elems,), jnp.float32).at[
-        jnp.where(hit, flat, a_elems)
-    ].add(dev_vals, mode="drop").reshape(total_steps, TM, g_step * W)
+    # A set-scatter runs 200 vs 268 ms at 23M updates
+    # (experiments/tpre_breakdown.py) but keeps only one of duplicate
+    # (row, col) entries, whose values must SUM (test_duplicates.py) —
+    # window_select detects duplicate-freeness on the host (adjacent
+    # equal pairs in the sorted-within-row CSR) and only then unlocks it.
+    scat = jnp.zeros((a_elems,), jnp.float32).at[jnp.where(hit, flat, a_elems)]
+    A = (scat.set(dev_vals, mode="drop") if unique_rc
+         else scat.add(dev_vals, mode="drop")
+         ).reshape(total_steps, TM, g_step * W)
 
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))  # int32-safe: nnz < 2^31
     pos = jnp.where(hit, n_res, miss_cum - 1)
@@ -549,7 +561,8 @@ def prepare_windowed(
     tabs = sel_device_tables(sel)
     A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
         dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
-        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step),
+        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step,
+                sel.get("unique_rc", False)),
     )
 
     # output assembly: graph row r of panel p lives at concat row

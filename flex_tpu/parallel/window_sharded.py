@@ -272,7 +272,8 @@ def prepare_windowed_sharded(
         A, res_col, res_vals, res_rp = _build_windowed(
             dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
             layout=(dev_s.nnz, dev_s.m, tm, W, nblk, sel["n_res"],
-                    sel["total_steps"], sel["G"]),
+                    sel["total_steps"], sel["G"],
+                    sel.get("unique_rc", False)),
         )
         S = sel["total_steps"]
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
