@@ -98,3 +98,13 @@ def test_ell_bf16_mode(pubmed):
     # bf16 inference mode: loose absolute tolerance, not the strict model
     chk = res_check2(gold, C, tol=0.05)
     assert chk.err_frac < 0.001, chk
+
+
+def test_device_banner():
+    from flex_tpu.utils.device_info import device_banner, device_info
+
+    info = device_info()
+    assert len(info) >= 1
+    assert all("platform" in r and "kind" in r for r in info)
+    banner = device_banner()
+    assert "device 0" in banner
