@@ -42,3 +42,24 @@ def test_duplicate_entries_sum(dup_graph, method, kw):
     C = np.asarray(flex_tpu.spmm(g, jnp.asarray(B), method=method, **kw))
     chk = res_check(spmm_scipy(g, B), C, g.degrees)
     assert chk.ok, f"{method}: {chk}"
+
+
+def test_unique_rc_detection(dup_graph, small_rmat):
+    """window_select's host pass must flag duplicate patterns (keeps the
+    summing .add scatter) and prove uniqueness otherwise (unlocks .set)."""
+    from flex_tpu.ops.window_spmm import window_select
+
+    sel_dup = window_select(dup_graph, tm=256, W=128, min_count=1)
+    assert sel_dup["unique_rc"] is False
+
+    sel_uni = window_select(small_rmat, tm=256, W=128, min_count=1)
+    assert sel_uni["unique_rc"] is True
+
+    # unsorted columns within a row -> conservative False even if unique
+    rp = np.full(17, 3, np.int64)  # 16 rows; all 3 nnz in row 0
+    rp[0] = 0
+    g = CSRGraph.from_arrays(
+        rp, np.array([5, 2, 9], np.int64), np.ones(3, np.float32),
+        name="unsorted")
+    assert g.m == 16
+    assert window_select(g, tm=8, W=8, min_count=1)["unique_rc"] is False
