@@ -51,6 +51,7 @@ def main(steps: int = 30) -> None:
 
     t0 = time.time()
     loss0 = float(gat_loss(model, params, ag, X, y, mask))
+    loss = loss0
     for i in range(steps):
         params, state, loss = step(params, state, X, y, mask)
         if i % 10 == 0 or i == steps - 1:

@@ -55,9 +55,12 @@ inline int64_t scan_i64(const char*& p, const char* end) {
   while (p < end && (*p == ' ' || *p == '\t')) ++p;
   bool neg = false;
   if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
-  int64_t v = 0;
-  while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
-  return neg ? -v : v;
+  // accumulate unsigned: INT64_MIN and out-of-range inputs wrap with
+  // defined semantics instead of signed-overflow UB
+  uint64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9')
+    v = v * 10 + static_cast<uint64_t>(*p++ - '0');
+  return static_cast<int64_t>(neg ? 0u - v : v);
 }
 
 inline float scan_f32(const char*& p, const char* end) {
@@ -68,12 +71,15 @@ inline float scan_f32(const char*& p, const char* end) {
   // fast path: [digits][.digits][e±digits] with ≤ 17 mantissa digits —
   // double holds that exactly, so float(v * 10^e) is correctly rounded
   // to well within f32 precision.
+  // nd counts SIGNIFICANT digits: leading zeros must not consume the
+  // 17-digit budget (else 0.0000000000000000123 silently parses as 0)
   uint64_t mant = 0;
   int nd = 0, exp10 = 0;
   bool any = false;
   while (p < end && *p >= '0' && *p <= '9') {
     any = true;
-    if (nd < 17) { mant = mant * 10 + (*p - '0'); ++nd; }
+    if (mant == 0 && *p == '0') { /* leading zero: no-op */ }
+    else if (nd < 17) { mant = mant * 10 + (*p - '0'); ++nd; }
     else ++exp10;
     ++p;
   }
@@ -81,7 +87,8 @@ inline float scan_f32(const char*& p, const char* end) {
     ++p;
     while (p < end && *p >= '0' && *p <= '9') {
       any = true;
-      if (nd < 17) { mant = mant * 10 + (*p - '0'); ++nd; --exp10; }
+      if (mant == 0 && *p == '0') --exp10;  // leading fractional zero
+      else if (nd < 17) { mant = mant * 10 + (*p - '0'); ++nd; --exp10; }
       ++p;
     }
   }
@@ -93,6 +100,8 @@ inline float scan_f32(const char*& p, const char* end) {
     while (p < end && *p >= '0' && *p <= '9') e = e * 10 + (*p++ - '0');
     exp10 += eneg ? -e : e;
   }
+  if (!any && (p >= end || *p == ',')) return 0.0f;  // empty token: 0,
+  // matching the i64 path's leniency (the delimiter stays unconsumed)
   if (!any || exp10 > 38 || exp10 < -46) {
     // weird token (inf/nan/huge exponent) — one strtof call
     char* q;

@@ -76,11 +76,25 @@ def _dyn_ell_spmm(plan: DynEllPlan, vals, B):
                      max_gather_rows=plan.max_gather_rows, out_rows=plan.m)
 
 
+# Host-build scale gate: the plan ships ~3 nnz-sized int32 arrays from
+# the host, and this environment's H2D tunnel moves ~35 MB/s
+# (docs/measurements.md; CLAUDE.md's never-upload-nnz rule).  Model-scale
+# attention graphs sit far below this; a device-side structure builder
+# (the ell_spmm pattern) is the path past it.
+MAX_HOST_BUILD_NNZ = 8_000_000
+
+
 def prepare_dyn_ell(g: CSRGraph,
-                    widths: tuple[int, ...] = DEFAULT_WIDTHS) -> DynEllPlan:
+                    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+                    allow_large: bool = False) -> DynEllPlan:
     """Host-side structure build (same chunking rules as the device ELL
     builder: smallest bucket width ≥ degree; rows wider than the last
     bucket split into wmax chunks)."""
+    if g.nnz > MAX_HOST_BUILD_NNZ and not allow_large:
+        raise ValueError(
+            f"prepare_dyn_ell host-builds ~3 nnz-sized arrays; at "
+            f"{g.nnz:,} nnz that upload is slow on this environment's "
+            f"tunnel (pass allow_large=True to proceed)")
     deg = g.degrees.astype(np.int64)
     wmax = widths[-1]
     w_arr = np.asarray(widths, dtype=np.int64)

@@ -204,14 +204,7 @@ def window_select(
         key_h = (rows_h // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
         res_deg = np.bincount(rows_h[slot[key_h] == 0], minlength=m
                               ).astype(np.int64)
-        # duplicate-(row,col) detection rides the same pass: when columns
-        # are sorted within rows (every loader/generator emits that) a
-        # duplicate is an adjacent equal pair.  Unsorted rows stay
-        # conservative (False -> the build scatter uses .add).
-        if nnz > 1:
-            same_row = rows_h[1:] == rows_h[:-1]
-            if not np.any(same_row & (g.col[1:] < g.col[:-1])):
-                unique_rc = not np.any(same_row & (g.col[1:] == g.col[:-1]))
+        unique_rc = pattern_is_unique(g, rows_h=rows_h)
 
     return {
         "G": g_step,
@@ -232,6 +225,25 @@ def window_select(
         "P": P,
         "nblk": nblk,
     }
+
+
+def pattern_is_unique(g, rows_h: np.ndarray | None = None) -> bool:
+    """Host duplicate-(row, col) detection: when columns are sorted within
+    rows (every loader/generator emits that) a duplicate is an adjacent
+    equal pair.  Unsorted rows return the conservative False (the build
+    scatter then uses the duplicate-summing .add).  Row slices of a
+    duplicate-free graph are duplicate-free — the sharded builder reuses
+    the full-graph verdict."""
+    if getattr(g, "col", None) is None or getattr(g, "degrees", None) is None:
+        return False
+    if g.nnz <= 1:
+        return True
+    if rows_h is None:
+        rows_h = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
+    same_row = rows_h[1:] == rows_h[:-1]
+    if np.any(same_row & (g.col[1:] < g.col[:-1])):
+        return False  # not sorted within rows — can't prove uniqueness
+    return not np.any(same_row & (g.col[1:] == g.col[:-1]))
 
 
 def sel_device_tables(sel: dict) -> dict:

@@ -44,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flex_tpu.ops.window_spmm import (
     G, WindowedPlan, _build_windowed, _window_pallas, _window_xla,
+    pattern_is_unique,
     window_select,
 )
 from flex_tpu.parallel.spmm_sharded import (
@@ -218,6 +219,7 @@ def prepare_windowed_sharded(
     for dvc, s_idx in shard_of_device.items():
         devices_of_shard.setdefault(s_idx, []).append(dvc)
 
+    full_unique = pattern_is_unique(g)
     for d_idx, (r0, r1) in enumerate(bounds):
         ms = r1 - r0
         s0, s1 = int(g.row_ptr[r0]), int(g.row_ptr[r1])
@@ -233,6 +235,10 @@ def prepare_windowed_sharded(
         gs = SimpleNamespace(m=ms, n=g.n, nnz=s1 - s0)
         sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count,
                             dev=dev_s)
+        # the shard namespace has no host col/degrees, so window_select
+        # can't run duplicate detection — inherit the full-graph verdict
+        # (row slices of a duplicate-free graph are duplicate-free)
+        sel["unique_rc"] = full_unique
         if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
             raise ValueError(
                 f"shard [{r0},{r1}) dense array too big: "

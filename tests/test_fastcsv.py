@@ -87,9 +87,23 @@ def test_malformed_raises():
 
 @needs_native
 def test_empty_token_parses_as_zero():
-    # lenient like the reference's istringstream loop: ",," -> 0
+    # lenient like the reference's istringstream loop: ",," -> 0, in BOTH
+    # dtypes (the f32 path once desynchronized on empty tokens)
     np.testing.assert_array_equal(
         native.parse_number_line(b"1,,2", np.int64), [1, 0, 2])
+    np.testing.assert_array_equal(
+        native.parse_number_line(b"1.0,,2.0", np.float32),
+        np.array([1.0, 0.0, 2.0], np.float32))
+
+
+@needs_native
+def test_f32_leading_zeros_keep_significant_digits():
+    """Leading zeros must not consume the 17-significant-digit budget —
+    0.0000000000000000123 once silently parsed as 0.0."""
+    line = b"0.0000000000000000123,00000000000000000005,0.0,000"
+    got = native.parse_number_line(line, np.float32)
+    want = np.array([1.23e-17, 5.0, 0.0, 0.0], np.float32)
+    np.testing.assert_array_equal(got, want)
 
 
 @needs_native
