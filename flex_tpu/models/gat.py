@@ -62,13 +62,20 @@ jax.tree_util.register_pytree_node(
     AttentionGraph.tree_unflatten)
 
 
-def prepare_attention(g: CSRGraph) -> AttentionGraph:
-    rows = np.repeat(np.arange(g.m, dtype=np.int32),
-                     g.degrees.astype(np.int64))
+def prepare_attention(g: CSRGraph, dev=None) -> AttentionGraph:
+    """Fully device-resident build: the CSR is uploaded once (DeviceCSR),
+    the edge-endpoint ids and the dyn-ELL structure derive from it on
+    device — no nnz-sized host-built arrays cross the tunnel."""
+    from flex_tpu.sparse.device import DeviceCSR, rows_from_row_ptr
+
+    if dev is None:
+        dev = DeviceCSR.from_graph(g)
+    rows = jax.jit(rows_from_row_ptr, static_argnums=(1, 2))(
+        dev.row_ptr, g.nnz, g.m)
     return AttentionGraph(
-        m=g.m, nnz=g.nnz, rows=jnp.asarray(rows),
-        cols=jnp.asarray(g.col.astype(np.int32)),
-        plan=prepare_dyn_ell(g))
+        m=g.m, nnz=g.nnz, rows=rows.astype(jnp.int32),
+        cols=dev.col.astype(jnp.int32),
+        plan=prepare_dyn_ell(g, dev=dev))
 
 
 def edge_softmax(ag: AttentionGraph, e: jax.Array) -> jax.Array:

@@ -8,28 +8,32 @@ pattern is static but ``vals`` is a traced argument with a gradient.
 
 The plan reuses the width-bucketed ELL layout (``ops/ell_spmm.py``; the
 reference's row-split generalisation, ``flex.cu:3510-3927``): column
-buckets and the chunk→row map are built once at prepare time; per call,
-each bucket's value matrix is ONE plain gather ``vals_pad[perm]`` (CSR
-order → bucket slots; padding slots point at an appended zero), after
+buckets, a slot→CSR-index permutation, and the chunk→row map are built
+once at prepare time ON DEVICE from the resident CSR (the shared
+``_bucket_layouts`` pass — zero nnz-sized host uploads, per CLAUDE.md's
+tunnel rule).  Per call, each bucket's value matrix is ONE plain gather
+``vals_pad[perm]`` (padding slots point at an appended zero), after
 which the call is exactly :func:`ell_spmm._ell_spmm` on the assembled
-buckets.  The whole chain is differentiable — the gather transposes to a
-scatter-add, so ``d loss / d vals`` comes out of ``jax.grad`` with no
+buckets.  The whole chain is differentiable — the gather transposes to
+a scatter-add, so ``d loss / d vals`` comes out of ``jax.grad`` with no
 custom VJP.
-
-Built host-side (model-scale graphs; the nnz-critical paths stay with the
-device builders in ``ell_spmm``/``window_spmm``).
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flex_tpu.ops.ell_spmm import DEFAULT_WIDTHS, _ell_spmm
+from flex_tpu.ops.ell_spmm import (
+    DEFAULT_WIDTHS, _bucket_layouts, _chunk_order, _ell_spmm,
+    host_bucket_sizes,
+)
 from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.device import DeviceCSR
 
 
 @dataclasses.dataclass
@@ -76,58 +80,59 @@ def _dyn_ell_spmm(plan: DynEllPlan, vals, B):
                      max_gather_rows=plan.max_gather_rows, out_rows=plan.m)
 
 
-# Host-build scale gate: the plan ships ~3 nnz-sized int32 arrays from
-# the host, and this environment's H2D tunnel moves ~35 MB/s
-# (docs/measurements.md; CLAUDE.md's never-upload-nnz rule).  Model-scale
-# attention graphs sit far below this; a device-side structure builder
-# (the ell_spmm pattern) is the path past it.
-MAX_HOST_BUILD_NNZ = 8_000_000
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _dyn_structure(row_ptr, col_dev, *, meta):
+    """Device structure build: per width bucket the [N, w] column matrix
+    and the slot→CSR-index permutation (pad slots -> nnz, which the call
+    maps to an appended zero value).  Same one-argsort + batched
+    contiguous dynamic-slice pass as the static ELL builder."""
+    wmax, widths, _, _ = meta
+    nnz = col_dev.shape[0]
+    deg = row_ptr[1:] - row_ptr[:-1]
+    order = _chunk_order(row_ptr, deg, widths)
+
+    col_pad = jnp.concatenate([col_dev, jnp.zeros((wmax,), col_dev.dtype)])
+    iota_pad = jnp.concatenate([
+        jnp.arange(nnz, dtype=jnp.int32),
+        jnp.full((wmax,), nnz, jnp.int32),
+    ])
+
+    cols, perms, rows_parts = [], [], []
+    for w, n_alloc, rows_b, starts, lengths, mask in _bucket_layouts(
+            row_ptr, deg, order, nnz, meta):
+        sl_c = jax.vmap(
+            lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
+        )(starts)
+        sl_i = jax.vmap(
+            lambda s, w=w: jax.lax.dynamic_slice(iota_pad, (s,), (w,))
+        )(starts)
+        cols.append(jnp.where(mask, sl_c, 0).astype(jnp.int32))
+        perms.append(jnp.where(mask, sl_i, nnz))
+        rows_parts.append(rows_b)
+    return tuple(cols), tuple(perms), jnp.concatenate(rows_parts)
 
 
-def prepare_dyn_ell(g: CSRGraph,
-                    widths: tuple[int, ...] = DEFAULT_WIDTHS,
-                    allow_large: bool = False) -> DynEllPlan:
-    """Host-side structure build (same chunking rules as the device ELL
-    builder: smallest bucket width ≥ degree; rows wider than the last
-    bucket split into wmax chunks)."""
-    if g.nnz > MAX_HOST_BUILD_NNZ and not allow_large:
-        raise ValueError(
-            f"prepare_dyn_ell host-builds ~3 nnz-sized arrays; at "
-            f"{g.nnz:,} nnz that upload is slow on this environment's "
-            f"tunnel (pass allow_large=True to proceed)")
+def prepare_dyn_ell(g: CSRGraph, dev: DeviceCSR | None = None,
+                    widths: tuple[int, ...] = DEFAULT_WIDTHS) -> DynEllPlan:
+    """Build the static structure on device from the resident CSR
+    (``dev`` is created with the one sanctioned CSR upload when absent).
+    The host contributes only the static bucket sizes from its degree
+    array — no nnz-sized host-built upload."""
+    if dev is None:
+        dev = DeviceCSR.from_graph(g)
     deg = g.degrees.astype(np.int64)
-    wmax = widths[-1]
-    w_arr = np.asarray(widths, dtype=np.int64)
-    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
-                           len(w_arr) - 1)]
-    wor = np.where(deg > wmax, wmax, wor)
-
-    cols, perms, chunk_rows = [], [], []
-    padded = 0
-    for w in widths:
-        rows_w = np.where((wor == w) & (deg > 0))[0]
-        if not len(rows_w):
-            continue
-        n_chunks = -(-deg[rows_w] // w)  # 1 unless w == wmax
-        rows_b = np.repeat(rows_w, n_chunks)
-        local = (np.arange(len(rows_b))
-                 - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
-        starts = g.row_ptr[rows_b].astype(np.int64) + local * w
-        lengths = np.clip(deg[rows_b] - local * w, 0, w)
-        idx = starts[:, None] + np.arange(w, dtype=np.int64)[None, :]
-        mask = np.arange(w)[None, :] < lengths[:, None]
-        idx = np.where(mask, idx, g.nnz)  # pad -> appended zero value
-        c = np.where(mask, g.col[np.minimum(idx, g.nnz - 1)], 0)
-        cols.append(jnp.asarray(c.astype(np.int32)))
-        perms.append(jnp.asarray(idx.astype(np.int32)))
-        chunk_rows.append(rows_b.astype(np.int32))
-        padded += int(mask.size)
-
-    return DynEllPlan(
-        m=g.m, nnz=g.nnz, cols=tuple(cols), perms=tuple(perms),
-        chunk_row=jnp.asarray(np.concatenate(chunk_rows)
-                              if chunk_rows else np.zeros(0, np.int32)),
-        padded_nnz=padded)
+    by_w, n_rows_last, padded = host_bucket_sizes(deg, widths)
+    bucket_meta = tuple((w, nc, nc) for w, nc in by_w.items())
+    if not bucket_meta:  # empty graph
+        return DynEllPlan(m=g.m, nnz=g.nnz, cols=(), perms=(),
+                          chunk_row=jnp.zeros((0,), jnp.int32),
+                          padded_nnz=0)
+    cols, perms, chunk_row = _dyn_structure(
+        dev.row_ptr, dev.col,
+        meta=(widths[-1], tuple(widths), bucket_meta, n_rows_last))
+    return DynEllPlan(m=g.m, nnz=g.nnz, cols=cols, perms=perms,
+                      chunk_row=chunk_row.astype(jnp.int32),
+                      padded_nnz=padded)
 
 
 def spmm_dyn(g: CSRGraph, vals, B, **kwargs) -> jax.Array:

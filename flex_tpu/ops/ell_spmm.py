@@ -63,41 +63,14 @@ def _build_buckets(col_pad, val_pad, meta_dev, *, bucket_meta, total):
     return tuple(buckets)
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
-def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
-    """Build the ELL chunk metadata AND every width bucket's [N, w] arrays
-    on device in ONE program, straight from a resident CSR row_ptr —
-    zero host→device transfers (round-3: the packed metadata upload was
-    the largest fixed cost of tPre; the tunnel has a ~0.5 s per-transfer
-    floor, docs/measurements.md).
-
-    How: rows are grouped by width bucket with one stable m-sized argsort
-    (bucket sizes are static, from the host's copy of the degrees); each
-    bucket slices its rows out of the sorted order, recovers chunk starts
-    from row_ptr, and gathers its [N, w] arrays with batched w-wide
-    dynamic_slices (each chunk's nnz are contiguous in CSR order).  Rows
-    longer than the widest bucket expand to multiple chunks with the
-    indicator-cumsum trick.
-
-    meta: (wmax, widths, bucket_meta tuple of (w, n_alloc, n_real),
-    n_rows_last).  ``n_alloc >= n_real`` lets multi-shard callers pad every
-    shard's buckets to common shapes (shard_map's uniform-shape rule); pad
-    chunks slice the zero region past nnz (length 0, row 0 — a zero-valued
-    scatter contribution).
-    """
+def _bucket_layouts(row_ptr, deg, order, nnz, meta):
+    """Traced helper shared by the static and dynamic-value builders:
+    yields per width bucket (w, n_alloc, rows_b, starts, lengths, mask).
+    Rows longer than the widest bucket expand to multiple chunks with the
+    indicator-cumsum trick; ``n_alloc >= n_real`` pad chunks slice the
+    zero region past nnz (length 0, row 0 — a zero-valued scatter
+    contribution)."""
     wmax, widths, bucket_meta, n_rows_last = meta
-    nnz = col_dev.shape[0]
-    deg = row_ptr[1:] - row_ptr[:-1]
-    w_arr = jnp.asarray(widths, dtype=jnp.int32)
-    wi = jnp.minimum(jnp.searchsorted(w_arr, jnp.maximum(deg, 1)),
-                     len(widths) - 1)
-    wi = jnp.where(deg > 0, wi, len(widths))  # empty rows sort last
-    order = jnp.argsort(wi, stable=True).astype(jnp.int32)
-
-    col_pad = jnp.concatenate([col_dev, jnp.zeros((wmax,), col_dev.dtype)])
-    val_pad = jnp.concatenate([vals_dev, jnp.zeros((wmax,), vals_dev.dtype)])
-
-    buckets, rows_parts = [], []
     off = 0
     for w, n_alloc, N in bucket_meta:
         if w == wmax and n_rows_last != N:
@@ -125,16 +98,57 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
                 [starts, jnp.full((pad,), nnz, starts.dtype)])
             lengths = jnp.concatenate(
                 [lengths, jnp.zeros((pad,), lengths.dtype)])
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_alloc, w), 1)
+            < lengths[:, None]
+        )
+        yield w, n_alloc, rows_b, starts, lengths, mask
+
+
+def _chunk_order(row_ptr, deg, widths):
+    """One stable m-sized argsort grouping rows by width bucket (bucket
+    sizes are static, from the host's copy of the degrees)."""
+    w_arr = jnp.asarray(widths, dtype=jnp.int32)
+    wi = jnp.minimum(jnp.searchsorted(w_arr, jnp.maximum(deg, 1)),
+                     len(widths) - 1)
+    wi = jnp.where(deg > 0, wi, len(widths))  # empty rows sort last
+    return jnp.argsort(wi, stable=True).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
+    """Build the ELL chunk metadata AND every width bucket's [N, w] arrays
+    on device in ONE program, straight from a resident CSR row_ptr —
+    zero host→device transfers (round-3: the packed metadata upload was
+    the largest fixed cost of tPre; the tunnel has a ~0.5 s per-transfer
+    floor, docs/measurements.md).
+
+    How: rows are grouped by width bucket with one stable m-sized argsort;
+    each bucket slices its rows out of the sorted order, recovers chunk
+    starts from row_ptr, and gathers its [N, w] arrays with batched w-wide
+    dynamic_slices (each chunk's nnz are contiguous in CSR order).
+
+    meta: (wmax, widths, bucket_meta tuple of (w, n_alloc, n_real),
+    n_rows_last).  ``n_alloc >= n_real`` lets multi-shard callers pad every
+    shard's buckets to common shapes (shard_map's uniform-shape rule).
+    """
+    wmax, widths, _, _ = meta
+    nnz = col_dev.shape[0]
+    deg = row_ptr[1:] - row_ptr[:-1]
+    order = _chunk_order(row_ptr, deg, widths)
+
+    col_pad = jnp.concatenate([col_dev, jnp.zeros((wmax,), col_dev.dtype)])
+    val_pad = jnp.concatenate([vals_dev, jnp.zeros((wmax,), vals_dev.dtype)])
+
+    buckets, rows_parts = [], []
+    for w, n_alloc, rows_b, starts, lengths, mask in _bucket_layouts(
+            row_ptr, deg, order, nnz, meta):
         sl_c = jax.vmap(
             lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
         )(starts)
         sl_v = jax.vmap(
             lambda s, w=w: jax.lax.dynamic_slice(val_pad, (s,), (w,))
         )(starts)
-        mask = (
-            jax.lax.broadcasted_iota(jnp.int32, (n_alloc, w), 1)
-            < lengths[:, None]
-        )
         buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
         rows_parts.append(rows_b)
     return tuple(buckets), jnp.concatenate(rows_parts)
