@@ -8,15 +8,21 @@ pattern is static but ``vals`` is a traced argument with a gradient.
 
 The plan reuses the width-bucketed ELL layout (``ops/ell_spmm.py``; the
 reference's row-split generalisation, ``flex.cu:3510-3927``): column
-buckets, a slot→CSR-index permutation, and the chunk→row map are built
-once at prepare time ON DEVICE from the resident CSR (the shared
+buckets, per-bucket chunk starts/lengths, and the chunk→row map are
+built once at prepare time ON DEVICE from the resident CSR (the shared
 ``_bucket_layouts`` pass — zero nnz-sized host uploads, per CLAUDE.md's
-tunnel rule).  Per call, each bucket's value matrix is ONE plain gather
-``vals_pad[perm]`` (padding slots point at an appended zero), after
-which the call is exactly :func:`ell_spmm._ell_spmm` on the assembled
-buckets.  The whole chain is differentiable — the gather transposes to
-a scatter-add, so ``d loss / d vals`` comes out of ``jax.grad`` with no
-custom VJP.
+tunnel rule).  Per call, each bucket's value matrix is assembled with
+batched w-wide ``dynamic_slice``s of the contiguous CSR value runs,
+after which the call is exactly :func:`ell_spmm._ell_spmm` on the
+assembled buckets.  Measured (docs/measurements.md): the assembly is
+element-rate-bound (~4.5 ns/elem — XLA decomposes misaligned 1-D slices
+into element gathers; a permutation-gather formulation costs the same),
+so dynamic re-weighting runs at ~2x the static ELL call — the price of
+fresh edge weights every forward.  The slice tables are n_chunks-sized
+(vs a padded-nnz permutation), keeping the plan structure small.
+The whole chain is differentiable (dynamic_slice transposes to
+dynamic_update_slice and the mask's ``where`` zeroes pad cotangents),
+so ``d loss / d vals`` comes out of ``jax.grad`` with no custom VJP.
 """
 from __future__ import annotations
 
@@ -43,8 +49,10 @@ class DynEllPlan:
 
     m: int
     nnz: int
+    wmax: int
     cols: Any        # tuple of int32[N, w] device arrays (per width bucket)
-    perms: Any       # tuple of int32[N, w]: bucket slot -> CSR index (pad=nnz)
+    starts: Any      # tuple of int[N]: chunk start in CSR order (pad=nnz)
+    lengths: Any     # tuple of int[N]: live slots per chunk
     chunk_row: Any   # int32[total_chunks]
     padded_nnz: int
     max_gather_rows: int = 2 * 1024 * 1024
@@ -53,14 +61,16 @@ class DynEllPlan:
         return _dyn_ell_spmm(self, vals, B)
 
     def tree_flatten(self):
-        return (self.cols, self.perms, self.chunk_row), (
-            self.m, self.nnz, self.padded_nnz, self.max_gather_rows)
+        return (self.cols, self.starts, self.lengths, self.chunk_row), (
+            self.m, self.nnz, self.wmax, self.padded_nnz,
+            self.max_gather_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        m, nnz, padded_nnz, mgr = aux
-        return cls(m=m, nnz=nnz, cols=children[0], perms=children[1],
-                   chunk_row=children[2], padded_nnz=padded_nnz,
+        m, nnz, wmax, padded_nnz, mgr = aux
+        return cls(m=m, nnz=nnz, wmax=wmax, cols=children[0],
+                   starts=children[1], lengths=children[2],
+                   chunk_row=children[3], padded_nnz=padded_nnz,
                    max_gather_rows=mgr)
 
 
@@ -73,43 +83,45 @@ def _dyn_ell_spmm(plan: DynEllPlan, vals, B):
     if not plan.cols:
         return jnp.zeros((plan.m, B.shape[1]), jnp.float32)
     vals_pad = jnp.concatenate(
-        [vals.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
-    buckets = tuple(
-        (c, vals_pad[p]) for c, p in zip(plan.cols, plan.perms))
-    return _ell_spmm(buckets, plan.chunk_row, B, m=plan.m,
+        [vals.astype(jnp.float32), jnp.zeros((plan.wmax,), jnp.float32)])
+    buckets = []
+    for c, st, ln in zip(plan.cols, plan.starts, plan.lengths):
+        w = c.shape[1]
+        sl_v = jax.vmap(
+            lambda s, w=w: jax.lax.dynamic_slice(vals_pad, (s,), (w,))
+        )(st)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+                < ln[:, None])
+        buckets.append((c, jnp.where(mask, sl_v, 0.0)))
+    return _ell_spmm(tuple(buckets), plan.chunk_row, B, m=plan.m,
                      max_gather_rows=plan.max_gather_rows, out_rows=plan.m)
 
 
 @functools.partial(jax.jit, static_argnames=("meta",))
 def _dyn_structure(row_ptr, col_dev, *, meta):
     """Device structure build: per width bucket the [N, w] column matrix
-    and the slot→CSR-index permutation (pad slots -> nnz, which the call
-    maps to an appended zero value).  Same one-argsort + batched
-    contiguous dynamic-slice pass as the static ELL builder."""
+    plus chunk starts/lengths (for the per-call contiguous value
+    slicing).  Same one-argsort + batched contiguous dynamic-slice pass
+    as the static ELL builder."""
     wmax, widths, _, _ = meta
     nnz = col_dev.shape[0]
     deg = row_ptr[1:] - row_ptr[:-1]
     order = _chunk_order(row_ptr, deg, widths)
 
     col_pad = jnp.concatenate([col_dev, jnp.zeros((wmax,), col_dev.dtype)])
-    iota_pad = jnp.concatenate([
-        jnp.arange(nnz, dtype=jnp.int32),
-        jnp.full((wmax,), nnz, jnp.int32),
-    ])
 
-    cols, perms, rows_parts = [], [], []
+    cols, starts_l, lengths_l, rows_parts = [], [], [], []
     for w, n_alloc, rows_b, starts, lengths, mask in _bucket_layouts(
             row_ptr, deg, order, nnz, meta):
         sl_c = jax.vmap(
             lambda s, w=w: jax.lax.dynamic_slice(col_pad, (s,), (w,))
         )(starts)
-        sl_i = jax.vmap(
-            lambda s, w=w: jax.lax.dynamic_slice(iota_pad, (s,), (w,))
-        )(starts)
         cols.append(jnp.where(mask, sl_c, 0).astype(jnp.int32))
-        perms.append(jnp.where(mask, sl_i, nnz))
+        starts_l.append(starts)
+        lengths_l.append(lengths)
         rows_parts.append(rows_b)
-    return tuple(cols), tuple(perms), jnp.concatenate(rows_parts)
+    return (tuple(cols), tuple(starts_l), tuple(lengths_l),
+            jnp.concatenate(rows_parts))
 
 
 def prepare_dyn_ell(g: CSRGraph, dev: DeviceCSR | None = None,
@@ -124,13 +136,15 @@ def prepare_dyn_ell(g: CSRGraph, dev: DeviceCSR | None = None,
     by_w, n_rows_last, padded = host_bucket_sizes(deg, widths)
     bucket_meta = tuple((w, nc, nc) for w, nc in by_w.items())
     if not bucket_meta:  # empty graph
-        return DynEllPlan(m=g.m, nnz=g.nnz, cols=(), perms=(),
+        return DynEllPlan(m=g.m, nnz=g.nnz, wmax=widths[-1], cols=(),
+                          starts=(), lengths=(),
                           chunk_row=jnp.zeros((0,), jnp.int32),
                           padded_nnz=0)
-    cols, perms, chunk_row = _dyn_structure(
+    cols, starts, lengths, chunk_row = _dyn_structure(
         dev.row_ptr, dev.col,
         meta=(widths[-1], tuple(widths), bucket_meta, n_rows_last))
-    return DynEllPlan(m=g.m, nnz=g.nnz, cols=cols, perms=perms,
+    return DynEllPlan(m=g.m, nnz=g.nnz, wmax=widths[-1], cols=cols,
+                      starts=starts, lengths=lengths,
                       chunk_row=chunk_row.astype(jnp.int32),
                       padded_nnz=padded)
 
