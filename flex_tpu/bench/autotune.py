@@ -96,13 +96,13 @@ def suggest(
         MAX_DENSE_BYTES, MIN_COVERAGE, window_select,
     )
 
-    sel = window_select(g, dev=dev, **win_kwargs)
-    if sel["dense_bytes"] > MAX_DENSE_BYTES and win_min_count < 128:
-        # denser-graph escape hatch: the aggressive default min_count may
-        # blow the dense cap where a coarser selection still pays
-        win_kwargs["min_count"] = 128
-        sel = window_select(g, dev=dev, **win_kwargs)
-    if sel["coverage"] >= MIN_COVERAGE and sel["dense_bytes"] <= MAX_DENSE_BYTES:
+    # budgeted selection: when the dense array at min_count would blow the
+    # HBM cap, window_select raises the count gate to the smallest value
+    # that fits (greedy-optimal covered-nnz per byte) — this is what makes
+    # windowed eligible at amazon scale on one chip
+    sel = window_select(g, dev=dev, max_dense_bytes=MAX_DENSE_BYTES,
+                        **win_kwargs)
+    if sel["coverage"] >= MIN_COVERAGE:
         n_win = sel["total_steps"] * sel["G"]
         # residue padded-nnz ≈ n_res x the fine ladder's measured ~1.12
         # pad ratio (exact per-row degrees are only computed on device)

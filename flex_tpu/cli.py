@@ -30,7 +30,10 @@ def main(argv=None) -> int:
     from flex_tpu.io import load_csv
     from flex_tpu.reorder import reorder
 
+    from flex_tpu.utils import enable_compile_cache
     from flex_tpu.utils.device_info import device_banner
+
+    enable_compile_cache()
 
     print(device_banner())  # the reference prints GPU info first (gp lib)
     g = load_csv(path)

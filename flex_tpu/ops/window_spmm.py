@@ -96,7 +96,7 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
 def window_select(
     g: CSRGraph, tm: int = 256, W: int = 128, J: int = 1024,
     min_count: int = 128, dev=None, g_step: int = G,
-    step_order: str = "row",
+    step_order: str = "row", max_dense_bytes: int | None = None,
 ) -> dict:
     """Window selection + step layout (shared with the autotuner so
     eligibility and the built format can't drift).
@@ -105,6 +105,16 @@ def window_select(
     window; a panel with more than ``J`` keeps the top ones by count.
     Kept windows are sorted ascending by block id and packed into
     G-window steps.
+
+    ``max_dense_bytes`` turns on *budgeted* selection (the
+    HBM-capacity-aware analog of ASpT's MIN_OCC gate): when the step-major
+    dense array at ``min_count`` would exceed the budget, the count gate is
+    raised to the smallest threshold that fits.  Every window costs the
+    same tm·W f32 tile, so thresholding on count IS the greedy-optimal
+    pick of covered-nnz per dense byte; this is what makes the windowed
+    hybrid eligible at amazon scale (264M nnz) on one 16 GB chip, where
+    the unbudgeted format needs 72 GB (experiments/amazon_budget_study.py).
+    The realized gate is returned as ``min_count_eff``.
 
     Returns dict with:
       win_step   int32[total_steps*G] block ids (sentinel = nblk pads)
@@ -129,7 +139,25 @@ def window_select(
             f"P*nblk = {P}*{nblk} exceeds int32 — raise tm/W or shard rows")
     cnt = _panel_block_hist(g, dev, tm, W, P, nblk)
 
-    valid = cnt >= max(min_count, 1)
+    min_count_eff = max(min_count, 1)
+    if max_dense_bytes is not None:
+        step_bytes = tm * g_step * W * 4
+
+        def _bytes_at(t: int) -> int:
+            nb = np.minimum((cnt >= t).sum(axis=1), J)
+            return int((-(-nb[nb > 0] // g_step)).sum()) * step_bytes
+
+        if _bytes_at(min_count_eff) > max_dense_bytes:
+            lo, hi = min_count_eff, int(cnt.max()) + 1  # hi always fits (0 B)
+            while lo + 1 < hi:
+                mid = (lo + hi) // 2
+                if _bytes_at(mid) > max_dense_bytes:
+                    lo = mid
+                else:
+                    hi = mid
+            min_count_eff = hi
+
+    valid = cnt >= min_count_eff
     nb_per = valid.sum(axis=1)
     over = np.where(nb_per > J)[0]
     for p in over:  # cap fat panels: keep the top-J blocks by count
@@ -208,6 +236,7 @@ def window_select(
 
     return {
         "G": g_step,
+        "min_count_eff": min_count_eff,
         "res_deg": res_deg,
         "unique_rc": unique_rc,
         "win_step": win_step,
@@ -494,6 +523,7 @@ class WindowedPlan:
     interpret: bool
     impl: str = "pallas"
     precision: Any = jax.lax.Precision.HIGHEST
+    min_count_eff: int = 0   # realized count gate (≠ min_count when budgeted)
 
     def __call__(self, B) -> jax.Array:
         return _windowed_call(self, B)
@@ -511,6 +541,7 @@ class WindowedPlan:
             "n_res": self.ell.nnz,
             "W": self.W,
             "impl": self.impl,
+            "min_count_eff": self.min_count_eff,
         }
 
     def traffic_model(self, k: int) -> dict:
@@ -547,7 +578,11 @@ def prepare_windowed(
 ) -> WindowedPlan:
     """Build the hybrid plan; refuses (ValueError) when windows would cover
     less than ``min_coverage`` of nnz (pure ELL wins there — the coverage
-    model is shared with the autotuner via :func:`window_select`).
+    model is shared with the autotuner via :func:`window_select`).  When
+    the dense array at ``min_count`` would exceed ``max_dense_bytes`` the
+    selection is *budgeted*: the count gate auto-raises to the smallest
+    threshold that fits (see :func:`window_select`), so the build never
+    refuses on bytes unless a caller-supplied ``sel`` itself is over.
 
     When ``sel`` comes from the autotuner (``bench.autotune.suggest``), its
     selection tables are reused — including their device copies
@@ -559,9 +594,12 @@ def prepare_windowed(
         interpret = jax.default_backend() == "cpu"
     if sel is None:
         sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count,
-                            dev=dev, g_step=g_step, step_order=step_order)
+                            dev=dev, g_step=g_step, step_order=step_order,
+                            max_dense_bytes=min(max_dense_bytes,
+                                                (2**31 - 2) * 4))
     g_step = sel.get("G", g_step)
     if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
+        # only reachable with a caller-supplied (unbudgeted) selection
         raise ValueError(
             f"windowed dense array too big: {sel['dense_bytes']/1e9:.2f} GB")
     if sel["coverage"] < min_coverage:
@@ -611,6 +649,7 @@ def prepare_windowed(
         win_step=tabs["win_step"],
         row_gather=jnp.asarray(rg.astype(np.int32)),
         ell=ell, coverage=sel["coverage"], interpret=interpret, impl=impl,
+        min_count_eff=int(sel.get("min_count_eff", 0)),
     )
 
 
@@ -621,17 +660,17 @@ def spmm_windowed(g: CSRGraph, B, **kwargs):
 def _win_flatten(p: WindowedPlan):
     return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell), (
         p.m, p.n, p.tm, p.W, p.n_used_panels, p.coverage, p.interpret,
-        p.impl, p.precision)
+        p.impl, p.precision, p.min_count_eff)
 
 
 def _win_unflatten(aux, children):
-    m, n, tm, W, n_used, coverage, interpret, impl, precision = aux
+    m, n, tm, W, n_used, coverage, interpret, impl, precision, mc_eff = aux
     return WindowedPlan(m=m, n=n, tm=tm, W=W, n_used_panels=n_used,
                         A=children[0], first=children[1],
                         out_panel=children[2], win_step=children[3],
                         row_gather=children[4], ell=children[5],
                         coverage=coverage, interpret=interpret, impl=impl,
-                        precision=precision)
+                        precision=precision, min_count_eff=mc_eff)
 
 
 jax.tree_util.register_pytree_node(WindowedPlan, _win_flatten, _win_unflatten)

@@ -179,3 +179,56 @@ def test_windowed_variable_steps():
     C = np.asarray(plan(jnp.asarray(B)))
     chk = res_check(spmm_scipy(g, B), C, g.degrees)
     assert chk.ok, f"{chk} stats={plan.stats}"
+
+
+def test_budgeted_selection_raises_gate_to_fit():
+    """max_dense_bytes auto-raises the count gate to the smallest value
+    whose dense array fits the budget (the HBM-capacity analog of ASpT's
+    MIN_OCC gate; makes windowed eligible at amazon scale on one chip)."""
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    free = window_select(g, tm=256, W=128, J=8, min_count=8)
+    assert free["min_count_eff"] == 8
+    budget = free["dense_bytes"] // 2
+    sel = window_select(g, tm=256, W=128, J=8, min_count=8,
+                        max_dense_bytes=budget)
+    assert sel["dense_bytes"] <= budget
+    assert sel["min_count_eff"] > 8
+    assert 0 < sel["coverage"] < free["coverage"]
+    # realized gate is minimal: one count lower must blow the budget
+    below = window_select(g, tm=256, W=128, J=8,
+                          min_count=sel["min_count_eff"] - 1)
+    assert below["dense_bytes"] > budget
+    # a budget the free selection already meets is a no-op
+    same = window_select(g, tm=256, W=128, J=8, min_count=8,
+                         max_dense_bytes=free["dense_bytes"])
+    assert same["min_count_eff"] == 8
+    assert same["dense_bytes"] == free["dense_bytes"]
+
+
+def test_budgeted_prepare_matches_scipy():
+    """prepare_windowed under a tight byte budget coarsens instead of
+    refusing, and the built hybrid still matches the SciPy gold."""
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    free = window_select(g, tm=256, W=128, J=8, min_count=8)
+    budget = free["dense_bytes"] // 2
+    B = make_features(g, 16)
+    plan = prepare_windowed(g, tm=256, W=128, J=8, min_count=8,
+                            max_dense_bytes=budget)
+    assert plan.A.size * 4 <= budget
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{chk} stats={plan.stats}"
+
+
+def test_budgeted_zero_budget_refuses_on_coverage():
+    """An impossible budget empties the selection; prepare refuses on the
+    coverage gate rather than building a degenerate hybrid."""
+    g = community_graph(2048, 150_000, n_comm=4, seed=7, shuffle=False)
+    sel = window_select(g, tm=256, W=128, J=4, min_count=8,
+                        max_dense_bytes=0)
+    assert sel["coverage"] == 0.0 and sel["dense_bytes"] == 0
+    with pytest.raises(ValueError):
+        prepare_windowed(g, tm=256, W=128, J=4, min_count=8,
+                         max_dense_bytes=0)
