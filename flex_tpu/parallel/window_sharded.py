@@ -76,6 +76,9 @@ class ShardedWindowedPlan:
     impl: str = "pallas"
     precision: Any = jax.lax.Precision.HIGHEST
     res_shard_nnz: tuple = ()
+    # per-shard (dense_bytes, min_count_eff, coverage) — the realized
+    # budgeted selection per chip
+    shard_sel: tuple = ()
     fn: Any = None
 
     def __call__(self, B) -> jax.Array:
@@ -142,6 +145,8 @@ class ShardedWindowedPlan:
         if self.res_shard_nnz:
             avg = max(sum(self.res_shard_nnz) / len(self.res_shard_nnz), 1)
             d["res_imbalance"] = round(max(self.res_shard_nnz) / avg - 1, 3)
+        if self.shard_sel:
+            d["min_count_eff"] = max(s[1] for s in self.shard_sel)
         return d
 
 
@@ -149,20 +154,20 @@ def _swin_flatten(p: ShardedWindowedPlan):
     children = (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell)
     aux = (p.mesh, p.axis, p.m, p.n, p.tm, p.W, tuple(p.row_bounds),
            p.m_shard_pad, p.n_panels_pad, p.coverage, p.interpret, p.impl,
-           p.precision, tuple(p.res_shard_nnz))
+           p.precision, tuple(p.res_shard_nnz), tuple(p.shard_sel))
     return children, aux
 
 
 def _swin_unflatten(aux, children):
     (mesh, axis, m, n, tm, W, bounds, m_pad, n_pan, cov, interp, impl,
-     prec, res_nnz) = aux
+     prec, res_nnz, shard_sel) = aux
     return ShardedWindowedPlan(
         mesh=mesh, axis=axis, m=m, n=n, tm=tm, W=W,
         row_bounds=list(bounds), m_shard_pad=m_pad, n_panels_pad=n_pan,
         A=children[0], first=children[1], out_panel=children[2],
         win_step=children[3], row_gather=children[4], ell=children[5],
         coverage=cov, interpret=interp, impl=impl, precision=prec,
-        res_shard_nnz=res_nnz,
+        res_shard_nnz=res_nnz, shard_sel=shard_sel,
     )
 
 
@@ -187,10 +192,12 @@ def prepare_windowed_sharded(
 ) -> ShardedWindowedPlan:
     """Shard rows by nnz; per shard run the single-chip window selection
     and device format build ON the shard's own device; residues stay on
-    their shard and form a same-bounds sharded ELL.  Refuses (ValueError)
-    when total coverage is below ``min_coverage`` or any shard's dense
-    format exceeds ``max_dense_bytes`` (also the _build_windowed int32
-    index guard — same rules as the single-chip plan).
+    their shard and form a same-bounds sharded ELL.  ``max_dense_bytes``
+    is a PER-SHARD (per-chip HBM) budget: each shard's selection is
+    byte-budgeted exactly like the single-chip plan's (window_select
+    auto-raises the count gate to fit), so large graphs coarsen per
+    shard instead of refusing.  Refuses (ValueError) only when total
+    coverage falls below ``min_coverage``.
 
     ``g`` only needs host (m, n, nnz, row_ptr, degrees); nnz-sized data
     comes from the resident ``dev`` (uploaded once by the loader,
@@ -234,16 +241,13 @@ def prepare_windowed_sharded(
                           m=ms, n=g.n, nnz=s1 - s0)
         gs = SimpleNamespace(m=ms, n=g.n, nnz=s1 - s0)
         sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count,
-                            dev=dev_s)
+                            dev=dev_s,
+                            max_dense_bytes=min(max_dense_bytes,
+                                                (2**31 - 2) * 4))
         # the shard namespace has no host col/degrees, so window_select
         # can't run duplicate detection — inherit the full-graph verdict
         # (row slices of a duplicate-free graph are duplicate-free)
         sel["unique_rc"] = full_unique
-        if sel["dense_bytes"] > min(max_dense_bytes, (2**31 - 2) * 4):
-            raise ValueError(
-                f"shard [{r0},{r1}) dense array too big: "
-                f"{sel['dense_bytes']/1e9:.2f} GB — raise min_count or "
-                f"use more shards")
         sels.append(sel)
         shard_devs.append(dev_s)
         shard_meta.append((r0, r1, home))
@@ -333,6 +337,9 @@ def prepare_windowed_sharded(
         out_panel=op_st, win_step=ws_st, row_gather=rg_st, ell=ell,
         coverage=coverage, interpret=interpret, impl=impl,
         res_shard_nnz=tuple(int(rp[-1]) for *_, rp in shard_residues),
+        shard_sel=tuple(
+            (int(s["dense_bytes"]), int(s["min_count_eff"]),
+             round(float(s["coverage"]), 4)) for s in sels),
     )
 
 

@@ -155,3 +155,31 @@ def test_sharded_grad_flows(small_rmat):
     A = small_rmat.to_scipy()
     want = 2.0 * (A.T @ (A @ np.asarray(B)))
     np.testing.assert_allclose(np.asarray(g), want, rtol=2e-4, atol=2e-3)
+
+
+@needs_8dev
+def test_sharded_windowed_budgeted_per_shard():
+    """max_dense_bytes is a per-shard (per-chip HBM) budget: each shard's
+    selection coarsens to fit instead of the build refusing, and the
+    sharded result still matches SciPy (the single-chip budgeted
+    selection composed with the row-sharded path — the amazon-scale
+    multi-chip story)."""
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.parallel import prepare_windowed_sharded
+    from flex_tpu.reorder import reorder
+
+    g = reorder(community_graph(4000, 300_000, n_comm=4, seed=8), "rbdeg",
+                check=False)
+    mesh = make_mesh(4)
+    free = prepare_windowed_sharded(g, mesh, tm=256, W=128, min_count=16)
+    budget = max(b for b, _, _ in free.shard_sel) // 2
+    plan = prepare_windowed_sharded(g, mesh, tm=256, W=128, min_count=16,
+                                    max_dense_bytes=budget)
+    assert all(b <= budget for b, _, _ in plan.shard_sel)
+    assert any(mc > 16 for _, mc, _ in plan.shard_sel)
+    assert plan.stats["min_count_eff"] > 16
+    assert plan.stats["coverage"] < free.stats["coverage"]
+    B = make_features(g, 16)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"{chk} stats={plan.stats}"
