@@ -66,6 +66,10 @@ G = 4  # default windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
 MIN_COVERAGE = 0.15
 MAX_DENSE_BYTES = 6 << 30
 
+# Above this histogram size the device-hist D2H (~15 MB/s relay) loses
+# to the O(nnz) host bincount when a host CSR exists (_panel_block_hist)
+_HIST_D2H_MAX_BYTES = 32 << 20
+
 
 def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
                       nblk: int) -> np.ndarray:
@@ -73,8 +77,17 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
     window selection.  Runs on device when the CSR is already resident
     (one cumsum + one scatter-add ≈ 0.3 s at reddit scale vs ~1 s of
     host bincount traffic; searchsorted is 200x slower than the
-    indicator-cumsum row recovery — docs/measurements.md)."""
-    if dev is not None:
+    indicator-cumsum row recovery — docs/measurements.md).
+
+    The device path ends in a P·nblk int32 D2H; through the ~15 MB/s
+    relay that dominates past a few-MB histogram (amazon: 75M cells =
+    301 MB ≈ 20 min), where the O(nnz) host bincount (~60 s at 264M)
+    wins — so prefer the host CSR when it exists and the histogram is
+    large."""
+    have_host = (getattr(g, "col", None) is not None
+                 and getattr(g, "degrees", None) is not None)
+    if dev is not None and (not have_host
+                            or P * nblk * 4 <= _HIST_D2H_MAX_BYTES):
         import jax
         import jax.numpy as jnp
 

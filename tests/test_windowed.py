@@ -232,3 +232,19 @@ def test_budgeted_zero_budget_refuses_on_coverage():
     with pytest.raises(ValueError):
         prepare_windowed(g, tm=256, W=128, J=4, min_count=8,
                          max_dense_bytes=0)
+
+
+def test_hist_host_fallback_matches_device(monkeypatch):
+    """Past _HIST_D2H_MAX_BYTES the selection histogram comes from the
+    host bincount instead of the device hist + D2H (301 MB ≈ 20 min
+    through the relay at amazon scale); both must agree exactly."""
+    import flex_tpu.ops.window_spmm as wsp
+    from flex_tpu.sparse.device import DeviceCSR
+
+    g = community_graph(2048, 150_000, n_comm=4, seed=7, shuffle=False)
+    dev = DeviceCSR.from_graph(g)
+    P, nblk = -(-g.m // 256), -(-g.n // 128)
+    via_dev = wsp._panel_block_hist(g, dev, 256, 128, P, nblk)
+    monkeypatch.setattr(wsp, "_HIST_D2H_MAX_BYTES", 0)
+    via_host = wsp._panel_block_hist(g, dev, 256, 128, P, nblk)
+    np.testing.assert_array_equal(via_dev, via_host)
