@@ -1,0 +1,106 @@
+"""Tests for bench.py's parent capture loop (no TPU, worker stubbed).
+
+The parent's job (VERDICT r02 item 1): keep launching fresh-process
+workers until one reports a healthy environment, keep the first valued
+result as a fallback, and never hang on a wedged backend.
+"""
+import importlib.util
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch, tmp_path):
+    spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    return mod
+
+
+def run_main(bench, capsys, workers, monkeypatch):
+    """Drive main() with a scripted sequence of worker results; returns
+    the parsed stdout JSON line and the number of attempts consumed."""
+    it = iter(workers)
+    calls = []
+
+    def fake_worker(timeout):
+        calls.append(timeout)
+        try:
+            return next(it)
+        except StopIteration:
+            pytest.fail("parent launched more workers than scripted")
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, f"stdout must be ONE json line, got {out}"
+    return json.loads(out[0]), len(calls)
+
+
+def test_healthy_first_capture_stops(bench, capsys, monkeypatch):
+    res = {"value": 100.0, "env_ok": True, "t_pre_s": 1.0,
+           "t_elap_ms": 50.0, "pre_elap_ratio": 20.0, "method": "windowed"}
+    out, n = run_main(bench, capsys, [dict(res)], monkeypatch)
+    assert n == 1
+    assert out["value"] == 100.0
+    assert out["vs_baseline"] == round(100.0 / bench.BASELINE_GFLOPS, 4)
+    assert "annotations" not in out
+
+
+def test_init_hang_then_healthy(bench, capsys, monkeypatch):
+    """A backend-init-hang attempt (no value) is followed by a retry; the
+    healthy second capture wins and is annotated as a retry."""
+    hang = {"annotations": ["backend-init-hang"]}
+    good = {"value": 95.0, "env_ok": True}
+    out, n = run_main(bench, capsys, [dict(hang), dict(good)], monkeypatch)
+    assert n == 2
+    assert out["value"] == 95.0
+    assert any(a.startswith("retry:") for a in out["annotations"])
+
+
+def test_degraded_value_kept_as_fallback(bench, capsys, monkeypatch):
+    """env_ok=false captures keep retrying, but if the budget runs out the
+    first valued (degraded) result is still reported, not dropped."""
+    bad = {"value": 5.0, "env_ok": False,
+           "annotations": ["degraded-environment:pre-probe"]}
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "time", lambda: t["now"])
+
+    def advance(timeout):
+        t["now"] += 1300.0  # two attempts fit the 2700 s budget
+        return dict(bad)
+
+    monkeypatch.setattr(bench, "_run_worker", advance)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 5.0
+    assert out["env_ok"] is False
+
+
+def test_all_attempts_dead_reports_zero(bench, capsys, monkeypatch):
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "time", lambda: t["now"])
+
+    def dead(timeout):
+        t["now"] += 1300.0
+        return None
+
+    monkeypatch.setattr(bench, "_run_worker", dead)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0
+    assert "benchmark-failed-twice" in out["annotations"]
+
+
+def test_later_healthy_beats_earlier_degraded(bench, capsys, monkeypatch):
+    degraded = {"value": 5.0, "env_ok": False,
+                "annotations": ["degraded-environment:post-probe"]}
+    good = {"value": 110.0, "env_ok": True}
+    out, n = run_main(bench, capsys, [dict(degraded), dict(good)],
+                      monkeypatch)
+    assert n == 2
+    assert out["value"] == 110.0
+    assert out["env_ok"] is True
