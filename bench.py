@@ -216,8 +216,9 @@ def worker(out_path: str) -> None:
     threading.Thread(target=_init_watchdog, daemon=True).start()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from flex_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     log(f"backend: {jax.devices()}")  # forces device init under watchdog
     init_done.set()
     import jax.numpy as jnp
@@ -377,7 +378,11 @@ def main() -> None:
     attempt = 0
     while True:
         attempt += 1
-        r = _run_worker(timeout=max(300.0, deadline - time.time()))
+        # cap any single attempt at 1800 s so a worker that hangs AFTER
+        # init (mid-compile/mid-benchmark, where the init watchdog can't
+        # see it) still leaves room for at least one fresh-process retry
+        r = _run_worker(timeout=max(300.0, min(1800.0,
+                                               deadline - time.time())))
         if r is not None and "value" in r:
             if attempt > 1:
                 r.setdefault("annotations", []).append(

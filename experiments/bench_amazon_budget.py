@@ -39,7 +39,8 @@ for b in budgets:
           f"select={time.time()-t0:.1f}s", flush=True)
     try:
         r = bench_spmm(g, k, method="windowed", iters=5, check=True, dev=dev,
-                       min_count=64, sel=sel, tm=256, W=128)
+                       min_count=64, sel=sel, tm=256, W=128,
+                       max_dense_bytes=int(b * (1 << 30)))
         print(_fmt(r), r.extra, flush=True)
     except Exception as e:
         print(f"  FAILED: {type(e).__name__}: {e}", flush=True)

@@ -72,7 +72,8 @@ _HIST_D2H_MAX_BYTES = 32 << 20
 
 
 def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
-                      nblk: int) -> np.ndarray:
+                      nblk: int, key_h: np.ndarray | None = None
+                      ) -> np.ndarray:
     """nnz count per (row panel, column block) — the only O(nnz) pass of
     window selection.  Runs on device when the CSR is already resident
     (one cumsum + one scatter-add ≈ 0.3 s at reddit scale vs ~1 s of
@@ -83,9 +84,14 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
     relay that dominates past a few-MB histogram (amazon: 75M cells =
     301 MB ≈ 20 min), where the O(nnz) host bincount (~60 s at 264M)
     wins — so prefer the host CSR when it exists and the histogram is
-    large."""
-    have_host = (getattr(g, "col", None) is not None
-                 and getattr(g, "degrees", None) is not None)
+    large.
+
+    ``key_h`` is the precomputed host (panel, block) key per nnz —
+    window_select passes its own so the host path costs ONE extra
+    bincount, not a second O(nnz) key construction."""
+    have_host = key_h is not None or (
+        getattr(g, "col", None) is not None
+        and getattr(g, "degrees", None) is not None)
     if dev is not None and (not have_host
                             or P * nblk * 4 <= _HIST_D2H_MAX_BYTES):
         import jax
@@ -101,9 +107,10 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
         return np.asarray(hist(dev.row_ptr, dev.col,
                                shape=(g.nnz, g.m, tm, W, nblk))
                           ).astype(np.int64).reshape(P, nblk)
-    rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
-    key = (rows // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
-    return np.bincount(key, minlength=P * nblk).reshape(P, nblk)
+    if key_h is None:
+        rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
+        key_h = (rows // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
+    return np.bincount(key_h, minlength=P * nblk).reshape(P, nblk)
 
 
 def window_select(
@@ -150,7 +157,15 @@ def window_select(
         # device (round-2 advisor: silent overflow at ~7x amazon scale)
         raise ValueError(
             f"P*nblk = {P}*{nblk} exceeds int32 — raise tm/W or shard rows")
-    cnt = _panel_block_hist(g, dev, tm, W, P, nblk)
+    # one O(nnz) host key pass, shared by the histogram fallback and the
+    # res_deg/duplicate passes below (at amazon scale each costs ~2 GB of
+    # int64 and tens of seconds — never build it twice)
+    rows_h = key_h = None
+    if getattr(g, "col", None) is not None and getattr(
+            g, "degrees", None) is not None:
+        rows_h = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
+        key_h = (rows_h // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
+    cnt = _panel_block_hist(g, dev, tm, W, P, nblk, key_h=key_h)
 
     min_count_eff = max(min_count, 1)
     if max_dense_bytes is not None:
@@ -239,10 +254,7 @@ def window_select(
     # selection time.
     res_deg = None
     unique_rc = False
-    if getattr(g, "col", None) is not None and getattr(
-            g, "degrees", None) is not None:
-        rows_h = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
-        key_h = (rows_h // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
+    if rows_h is not None:
         res_deg = np.bincount(rows_h[slot[key_h] == 0], minlength=m
                               ).astype(np.int64)
         unique_rc = pattern_is_unique(g, rows_h=rows_h)

@@ -239,14 +239,23 @@ def prepare_windowed_sharded(
         vals_s = jax.device_put(dev.vals[s0:s1], home)
         dev_s = DeviceCSR(row_ptr=row_ptr_s, col=col_s, vals=vals_s,
                           m=ms, n=g.n, nnz=s1 - s0)
-        gs = SimpleNamespace(m=ms, n=g.n, nnz=s1 - s0)
+        # hand the shard host col/degrees VIEWS when the full graph has
+        # them: window_select's histogram can then take the host-bincount
+        # path past _HIST_D2H_MAX_BYTES (at amazon scale the per-shard
+        # device hist would be a ~75 MB D2H through the relay, ~5 min
+        # per shard) — zero-copy slices, the device build is unaffected
+        host_kw = {}
+        if getattr(g, "col", None) is not None and \
+                getattr(g, "degrees", None) is not None:
+            host_kw = {"col": g.col[s0:s1], "degrees": g.degrees[r0:r1]}
+        gs = SimpleNamespace(m=ms, n=g.n, nnz=s1 - s0, **host_kw)
         sel = window_select(gs, tm=tm, W=W, J=J, min_count=min_count,
                             dev=dev_s,
                             max_dense_bytes=min(max_dense_bytes,
                                                 (2**31 - 2) * 4))
-        # the shard namespace has no host col/degrees, so window_select
-        # can't run duplicate detection — inherit the full-graph verdict
-        # (row slices of a duplicate-free graph are duplicate-free)
+        # duplicate detection: the full-graph verdict subsumes the
+        # per-shard one (row slices of a duplicate-free graph are
+        # duplicate-free), and it also covers shards without host data
         sel["unique_rc"] = full_unique
         sels.append(sel)
         shard_devs.append(dev_s)

@@ -95,6 +95,30 @@ def test_all_attempts_dead_reports_zero(bench, capsys, monkeypatch):
     assert "benchmark-failed-twice" in out["annotations"]
 
 
+def test_post_init_hang_still_gets_a_retry(bench, capsys, monkeypatch):
+    """A worker that hangs AFTER backend init (where the init watchdog
+    can't see it) is capped at 1800 s, leaving budget for a fresh retry."""
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "time", lambda: t["now"])
+    calls = []
+    good = {"value": 90.0, "env_ok": True}
+
+    def fake(timeout):
+        calls.append(timeout)
+        if len(calls) == 1:
+            t["now"] += timeout  # hang: consumed the whole attempt budget
+            return None
+        t["now"] += 400.0
+        return dict(good)
+
+    monkeypatch.setattr(bench, "_run_worker", fake)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert calls[0] <= 1800.0
+    assert len(calls) == 2
+    assert out["value"] == 90.0
+
+
 def test_later_healthy_beats_earlier_degraded(bench, capsys, monkeypatch):
     degraded = {"value": 5.0, "env_ok": False,
                 "annotations": ["degraded-environment:post-probe"]}
