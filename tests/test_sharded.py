@@ -105,6 +105,27 @@ def test_sharded_windowed_builds_from_resident_device_csr():
     assert "res_imbalance" in plan.stats
 
 
+def test_sharded_windowed_host_hist_fallback(monkeypatch):
+    """With the host-bincount histogram forced (the amazon-scale path —
+    the per-shard device hist D2H is ~75 MB through the relay there),
+    the sharded build still matches SciPy: each shard's zero-copy host
+    col/degrees views must line up with its device CSR slice."""
+    import flex_tpu.ops.window_spmm as wsp
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.parallel import prepare_windowed_sharded
+    from flex_tpu.reorder import reorder
+
+    g = reorder(community_graph(4000, 300_000, n_comm=4, seed=8), "rbdeg",
+                check=False)
+    mesh = make_mesh(4)
+    monkeypatch.setattr(wsp, "_HIST_D2H_MAX_BYTES", 0)
+    plan = prepare_windowed_sharded(g, mesh, tm=256, W=128, min_count=16)
+    B = make_features(g, 16)
+    chk = res_check(spmm_scipy(g, B), np.asarray(plan(jnp.asarray(B))),
+                    g.degrees)
+    assert chk.ok, f"{chk} stats={plan.stats}"
+
+
 @needs_8dev
 def test_sharded_windowed_refuses_scattered():
     from flex_tpu.io.synth import uniform_graph
