@@ -52,7 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.csr import CSRGraph, indicator_cumsum
 from flex_tpu.sparse.device import (
     DeviceCSR, round_up as _round_up, rows_from_row_ptr,
 )
@@ -108,9 +108,37 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
                                shape=(g.nnz, g.m, tm, W, nblk))
                           ).astype(np.int64).reshape(P, nblk)
     if key_h is None:
-        rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
-        key_h = (rows // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
+        key_h, _ = _host_panel_key(g, tm, W, P, nblk)
     return np.bincount(key_h, minlength=P * nblk).reshape(P, nblk)
+
+
+def _host_row_ptr(g) -> np.ndarray:
+    rp = getattr(g, "row_ptr", None)
+    if rp is None:
+        rp = np.concatenate([np.zeros(1, np.int64),
+                             np.cumsum(g.degrees, dtype=np.int64)])
+    return rp
+
+
+def _host_panel_key(g, tm: int, W: int, P: int, nblk: int,
+                    row_ptr_h: np.ndarray | None = None):
+    """Host (panel, block) key per nnz, int32 (P·nblk < 2^31 is guarded
+    by the caller).  Built WITHOUT np.repeat and without per-nnz int64
+    division — both run ~100x below memory bandwidth on this host
+    (175 s + 165 s for one 264M-nnz key, measured in
+    experiments/profile_select_host.py); panel ids come from the
+    indicator-cumsum over the P panel start offsets and the block id is
+    a shift (or one int32 divide) on the int32 col."""
+    if row_ptr_h is None:
+        row_ptr_h = _host_row_ptr(g)
+    m, nnz = g.m, g.nnz
+    pstarts = row_ptr_h[np.minimum(
+        np.arange(1, P, dtype=np.int64) * tm, m)]
+    panel = indicator_cumsum(pstarts, nnz, dtype=np.int32)
+    col32 = np.asarray(g.col, dtype=np.int32)
+    block = (col32 >> (W.bit_length() - 1)) if W & (W - 1) == 0 \
+        else col32 // np.int32(W)
+    return panel * np.int32(nblk) + block, row_ptr_h
 
 
 def window_select(
@@ -158,13 +186,12 @@ def window_select(
         raise ValueError(
             f"P*nblk = {P}*{nblk} exceeds int32 — raise tm/W or shard rows")
     # one O(nnz) host key pass, shared by the histogram fallback and the
-    # res_deg/duplicate passes below (at amazon scale each costs ~2 GB of
-    # int64 and tens of seconds — never build it twice)
-    rows_h = key_h = None
+    # res_deg/duplicate passes below — never build it twice, and never
+    # via np.repeat (see _host_panel_key)
+    key_h = row_ptr_h = None
     if getattr(g, "col", None) is not None and getattr(
             g, "degrees", None) is not None:
-        rows_h = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
-        key_h = (rows_h // tm) * np.int64(nblk) + g.col.astype(np.int64) // W
+        key_h, row_ptr_h = _host_panel_key(g, tm, W, P, nblk)
     cnt = _panel_block_hist(g, dev, tm, W, P, nblk, key_h=key_h)
 
     min_count_eff = max(min_count, 1)
@@ -254,10 +281,13 @@ def window_select(
     # selection time.
     res_deg = None
     unique_rc = False
-    if rows_h is not None:
-        res_deg = np.bincount(rows_h[slot[key_h] == 0], minlength=m
-                              ).astype(np.int64)
-        unique_rc = pattern_is_unique(g, rows_h=rows_h)
+    if key_h is not None:
+        # residue degree per row = windowed-sum of the residue mask:
+        # exclusive cumsum sampled at the row bounds (no per-nnz row ids)
+        cs = np.concatenate([np.zeros(1, np.int32),
+                             np.cumsum(slot[key_h] == 0, dtype=np.int32)])
+        res_deg = (cs[row_ptr_h[1:]] - cs[row_ptr_h[:-1]]).astype(np.int64)
+        unique_rc = pattern_is_unique(g, row_ptr_h=row_ptr_h)
 
     return {
         "G": g_step,
@@ -281,23 +311,28 @@ def window_select(
     }
 
 
-def pattern_is_unique(g, rows_h: np.ndarray | None = None) -> bool:
+def pattern_is_unique(g, row_ptr_h: np.ndarray | None = None) -> bool:
     """Host duplicate-(row, col) detection: when columns are sorted within
     rows (every loader/generator emits that) a duplicate is an adjacent
     equal pair.  Unsorted rows return the conservative False (the build
-    scatter then uses the duplicate-summing .add).  Row slices of a
-    duplicate-free graph are duplicate-free — the sharded builder reuses
-    the full-graph verdict."""
+    scatter then uses the duplicate-summing .add) — one fused pass, since
+    both unsorted and duplicated adjacency mean col[i+1] <= col[i].  Row
+    slices of a duplicate-free graph are duplicate-free — the sharded
+    builder reuses the full-graph verdict.  The same-row mask comes from
+    the row bounds, not per-nnz row ids (np.repeat is ~100x below memory
+    bandwidth on this host)."""
     if getattr(g, "col", None) is None or getattr(g, "degrees", None) is None:
         return False
-    if g.nnz <= 1:
+    nnz = g.nnz
+    if nnz <= 1:
         return True
-    if rows_h is None:
-        rows_h = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
-    same_row = rows_h[1:] == rows_h[:-1]
-    if np.any(same_row & (g.col[1:] < g.col[:-1])):
-        return False  # not sorted within rows — can't prove uniqueness
-    return not np.any(same_row & (g.col[1:] == g.col[:-1]))
+    if row_ptr_h is None:
+        row_ptr_h = _host_row_ptr(g)
+    same_row = np.ones(nnz - 1, dtype=bool)
+    b = np.asarray(row_ptr_h[1:-1], dtype=np.int64)
+    b = b[(b > 0) & (b < nnz)]
+    same_row[b - 1] = False  # position i compares entries i and i+1
+    return not np.any(same_row & (g.col[1:] <= g.col[:-1]))
 
 
 def sel_device_tables(sel: dict) -> dict:

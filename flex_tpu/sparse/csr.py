@@ -28,6 +28,45 @@ DATASET_LABEL_WIDTH = {
 DEFAULT_LABEL_WIDTH = 100
 
 
+def indicator_cumsum(starts, total: int, dtype=np.int64) -> np.ndarray:
+    """Segment ids per element from segment start offsets: zeros with +1
+    scattered at each start (duplicates from empty segments accumulate),
+    then a running sum — the host twin of the device row-recovery trick
+    (``ops.common.rows_from_row_ptr``).  Runs at memory bandwidth."""
+    out = np.zeros(total, dtype=dtype)
+    s = np.asarray(starts, dtype=np.int64)
+    # a start AT offset 0 still counts (leading empty segment: element 0
+    # belongs to segment k = number of starts <= 0); only clip past-end
+    # starts (trailing empty segments)
+    np.add.at(out, s[s < total], 1)
+    np.cumsum(out, out=out)
+    return out
+
+
+def repeat_arange(counts, dtype=np.int64, total: int | None = None
+                  ) -> np.ndarray:
+    """``np.repeat(np.arange(len(counts)), counts)`` without np.repeat.
+
+    np.repeat with per-element repeat counts runs at ~1.5M elements/s on
+    this host (175 s for one 264M-nnz pass — measured,
+    experiments/profile_select_host.py); the indicator+cumsum form runs
+    at memory bandwidth (~2 s for the same pass)."""
+    counts = np.asarray(counts)
+    if total is None:
+        total = int(counts.sum())
+    if len(counts) == 0 or total == 0:
+        return np.zeros(0, dtype=dtype)
+    return indicator_cumsum(np.cumsum(counts[:-1], dtype=np.int64),
+                            total, dtype=dtype)
+
+
+def repeat_values(values, counts, total: int | None = None) -> np.ndarray:
+    """``np.repeat(values, counts)`` for large outputs: one gather through
+    :func:`repeat_arange` instead of numpy's per-element repeat loop."""
+    values = np.asarray(values)
+    return values[repeat_arange(counts, dtype=np.int64, total=total)]
+
+
 @dataclasses.dataclass(frozen=True)
 class GraphStats:
     """Directedness / degree statistics (reference ``DataLoader.cu:86-115``)."""
