@@ -27,5 +27,12 @@ Components (mirrors SURVEY.md §2's inventory, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+from flex_tpu.utils.hostmem import tune_host_malloc
+
+# keep large numpy temporaries on the heap (fault once, reuse forever);
+# without this every O(nnz) allocating ufunc pass re-faults its pages at
+# ~55 MB/s on this host — see utils/hostmem.py and docs/measurements.md
+tune_host_malloc()
+
 from flex_tpu.sparse.csr import CSRGraph  # noqa: F401
 from flex_tpu.ops import spmm  # noqa: F401

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.csr import CSRGraph, repeat_arange
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_hub_rows", "precision"))
@@ -179,7 +179,7 @@ def prepare_panel(
             else jax.lax.Precision.HIGHEST
         )
 
-    rows = np.repeat(np.arange(g.m, dtype=np.int64), deg)
+    rows = repeat_arange(deg, total=g.nnz)
     cols = g.col.astype(np.int64)
     vals = g.vals
 

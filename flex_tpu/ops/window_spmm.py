@@ -138,7 +138,11 @@ def _host_panel_key(g, tm: int, W: int, P: int, nblk: int,
     col32 = np.asarray(g.col, dtype=np.int32)
     block = (col32 >> (W.bit_length() - 1)) if W & (W - 1) == 0 \
         else col32 // np.int32(W)
-    return panel * np.int32(nblk) + block, row_ptr_h
+    # fuse key = panel*nblk + block in place: a fresh 1 GB ufunc output
+    # costs 1-30 s on this host vs 0.4 s reusing pages (utils/hostmem.py)
+    np.multiply(panel, np.int32(nblk), out=panel)
+    np.add(panel, block, out=panel)
+    return panel, row_ptr_h
 
 
 def window_select(
@@ -283,9 +287,13 @@ def window_select(
     unique_rc = False
     if key_h is not None:
         # residue degree per row = windowed-sum of the residue mask:
-        # exclusive cumsum sampled at the row bounds (no per-nnz row ids)
-        cs = np.concatenate([np.zeros(1, np.int32),
-                             np.cumsum(slot[key_h] == 0, dtype=np.int32)])
+        # exclusive cumsum sampled at the row bounds (no per-nnz row ids).
+        # cumsum runs in place — cumsum-into-fresh hit an 83 s pathological
+        # path at 264M on this host (docs/measurements.md, round-3 host)
+        mask32 = (slot[key_h] == 0).astype(np.int32)
+        cs = np.empty(g.nnz + 1, np.int32)
+        cs[0] = 0
+        np.cumsum(mask32, out=cs[1:])
         res_deg = (cs[row_ptr_h[1:]] - cs[row_ptr_h[:-1]]).astype(np.int64)
         unique_rc = pattern_is_unique(g, row_ptr_h=row_ptr_h)
 

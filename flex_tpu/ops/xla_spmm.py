@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.csr import CSRGraph, repeat_arange
 
 
 def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
@@ -73,7 +73,7 @@ class XLASpmmPlan:
 def prepare_xla(g: CSRGraph, pad_multiple: int = 1024) -> XLASpmmPlan:
     E = g.nnz
     E_pad = -(-max(E, 1) // pad_multiple) * pad_multiple
-    rows = np.repeat(np.arange(g.m, dtype=np.int32), g.degrees)
+    rows = repeat_arange(g.degrees, dtype=np.int32, total=E)
     rows = _pad_to(rows, E_pad, g.m)  # padding rows land in segment m
     cols = _pad_to(g.col.astype(np.int32), E_pad, 0)
     vals = _pad_to(g.vals, E_pad, 0.0)

@@ -20,12 +20,13 @@ import numpy as np
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.reorder.rcm import order_rcm
 from flex_tpu.sparse.perm import invert_permutation
+from flex_tpu.sparse.csr import repeat_arange
 
 
 def _relabel_csr(row_ptr, col, old_to_new, n):
     """Rebuild CSR under a relabeling, neighbor lists sorted ascending."""
     deg = np.diff(row_ptr)
-    new_rows = old_to_new[np.repeat(np.arange(n, dtype=np.int64), deg)]
+    new_rows = old_to_new[repeat_arange(deg)]
     new_cols = old_to_new[col]
     order = np.lexsort((new_cols, new_rows))
     new_rows, new_cols = new_rows[order], new_cols[order]
@@ -147,7 +148,7 @@ def order_gorder(g: CSRGraph, window: int = 3, use_native: bool | None = None) -
 
 def _transpose_csr(row_ptr, col, n):
     deg = np.diff(row_ptr)
-    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    rows = repeat_arange(deg)
     order = np.lexsort((rows, col))
     t_rows = col[order]
     t_cols = rows[order]

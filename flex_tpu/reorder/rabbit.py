@@ -141,7 +141,8 @@ def modularity(g: CSRGraph, communities: np.ndarray) -> float:
     unit-weight version of g (diagnostic; the reference prints Q after
     clustering, ``DataLoader.cu:648-652``)."""
     n = g.m
-    rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
+    from flex_tpu.sparse.csr import repeat_arange
+    rows = repeat_arange(g.degrees, total=g.nnz)
     cols = g.col.astype(np.int64)
     mask = rows != cols
     rows, cols = rows[mask], cols[mask]

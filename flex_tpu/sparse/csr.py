@@ -176,7 +176,7 @@ class CSRGraph:
         (``DataLoader.cu:86-115``): count one-way edges, asymmetric weights,
         and zero-degree nodes."""
         m, nnz = self.m, self.nnz
-        rows = np.repeat(np.arange(m, dtype=np.int64), self.degrees)
+        rows = repeat_arange(self.degrees, total=nnz)
         cols = self.col.astype(np.int64)
 
         # Edge keyed by (src, dst); look up each edge's reverse (dst, src).

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.csr import CSRGraph, repeat_arange, repeat_values
 
 
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
@@ -53,14 +53,13 @@ def apply_vertex_order(
     # Gather each new row's edges from the old row, relabel cols, sort.
     # Build a gather index: for new row r, old edges g.row_ptr[perm[r]] .. +deg.
     src_start = g.row_ptr[perm]
-    gather = np.repeat(src_start - row_ptr[:-1], new_deg) + np.arange(
-        g.nnz, dtype=np.int64
-    )
+    gather = repeat_values(src_start - row_ptr[:-1], new_deg, total=g.nnz
+                           ) + np.arange(g.nnz, dtype=np.int64)
     col_new = old_to_new[g.col[gather]]
     vals_new = g.vals[gather]
 
     # Sort columns ascending within each row (stable lexsort on (row, col)).
-    rows_new = np.repeat(np.arange(n, dtype=np.int64), new_deg)
+    rows_new = repeat_arange(new_deg, total=g.nnz)
     sort_idx = np.lexsort((col_new, rows_new))
     col_new = col_new[sort_idx].astype(np.int32)
     vals_new = vals_new[sort_idx]
@@ -82,8 +81,8 @@ def check_permutation_invariants(
     assert old.nnz == new.nnz and old.m == new.m
     n = old.m
 
-    old_rows = np.repeat(np.arange(n, dtype=np.int64), old.degrees)
-    new_rows = np.repeat(np.arange(n, dtype=np.int64), new.degrees)
+    old_rows = repeat_arange(old.degrees, total=old.nnz)
+    new_rows = repeat_arange(new.degrees, total=new.nnz)
 
     inc_old = old_rows & 0xF  # same per-source weight as the reference
     # In the new graph, row r corresponds to old row perm[r]; the reference

@@ -13,7 +13,7 @@ import dataclasses
 
 import numpy as np
 
-from flex_tpu.sparse.csr import CSRGraph
+from flex_tpu.sparse.csr import CSRGraph, repeat_arange
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,7 +48,7 @@ class TileStats:
 
 
 def tile_stats(g: CSRGraph, bm: int, bn: int = 128) -> TileStats:
-    rows = np.repeat(np.arange(g.m, dtype=np.int64), g.degrees)
+    rows = repeat_arange(g.degrees, total=g.nnz)
     brow = rows // bm
     bcol = g.col.astype(np.int64) // bn
     n_bcols = -(-g.n // bn)
