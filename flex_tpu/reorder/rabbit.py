@@ -40,13 +40,13 @@ def order_rabbit(
         from flex_tpu.reorder import native
 
         return native.order_rabbit_native(
-            g.row_ptr, g.col, g.stats.is_directed, max_rounds,
+            g.row_ptr, g.col, not g.pattern_is_symmetric, max_rounds,
             want_labels=want_labels,
         )
 
     # Unit-weight undirected adjacency maps (DataLoader.cu:512-534).
     adj: list[dict[int, int]] = [dict() for _ in range(n)]
-    force_undirected = g.stats.is_directed
+    force_undirected = not g.pattern_is_symmetric
     rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
     for u, d in zip(rows.tolist(), g.col.tolist()):
         if u == d:
@@ -146,7 +146,7 @@ def modularity(g: CSRGraph, communities: np.ndarray) -> float:
     cols = g.col.astype(np.int64)
     mask = rows != cols
     rows, cols = rows[mask], cols[mask]
-    if g.stats.is_directed:
+    if not g.pattern_is_symmetric:
         rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
         keys = np.unique(rows * n + cols)
         rows, cols = keys // n, keys % n

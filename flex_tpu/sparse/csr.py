@@ -170,31 +170,67 @@ class CSRGraph:
 
     # -- statistics ----------------------------------------------------------
 
+    def _edge_keys(self):
+        """(fwd, rev) int64 edge keys, fwd pre-sorted when cols are sorted
+        within rows (every loader/generator emits that).  Built in place —
+        fresh 1 GB ufunc outputs cost 1-30 s on this host (utils/hostmem)."""
+        m, nnz = self.m, self.nnz
+        rows = repeat_arange(self.degrees, total=nnz)
+        fwd = np.empty(nnz, np.int64)
+        np.multiply(rows, m, out=fwd)
+        np.add(fwd, self.col, out=fwd)
+        rev = np.empty(nnz, np.int64)
+        np.multiply(self.col, m, out=rev, dtype=np.int64, casting="unsafe")
+        np.add(rev, rows, out=rev)
+        return fwd, rev
+
+    @cached_property
+    def pattern_is_symmetric(self) -> bool:
+        """Exact structural symmetry (values ignored): the multiset of
+        (dst, src) keys equals the (src, dst) keys.  Cheap exit on the
+        in-degree test; no binary searches (a 23M random-query searchsorted
+        measured 30 s on this host, docs/measurements.md round-3 host)."""
+        m, nnz = self.m, self.nnz
+        if nnz == 0:
+            return True
+        if not np.array_equal(np.bincount(self.col, minlength=m),
+                              self.degrees):
+            return False
+        fwd, rev = self._edge_keys()
+        if not np.all(fwd[:-1] <= fwd[1:]):
+            fwd.sort()
+        rev.sort()
+        return bool(np.array_equal(fwd, rev))
+
     @cached_property
     def stats(self) -> GraphStats:
         """Vectorised equivalent of the reference's edge-inverse scan
         (``DataLoader.cu:86-115``): count one-way edges, asymmetric weights,
         and zero-degree nodes."""
         m, nnz = self.m, self.nnz
-        rows = repeat_arange(self.degrees, total=nnz)
-        cols = self.col.astype(np.int64)
+        cols = self.col
 
         # Edge keyed by (src, dst); look up each edge's reverse (dst, src).
-        fwd_keys = rows * m + cols
-        rev_keys = cols * m + rows
-        sort_idx = np.argsort(fwd_keys, kind="stable")
-        sorted_keys = fwd_keys[sort_idx]
-        pos = np.searchsorted(sorted_keys, rev_keys)
-        pos_c = np.minimum(pos, nnz - 1) if nnz else pos
-        has_rev = (
-            (sorted_keys[pos_c] == rev_keys) if nnz else np.zeros(0, dtype=bool)
-        )
-        n_one_way = int((~has_rev).sum())
+        # Queries go through the reverse-sorted order: random-order binary
+        # searches measured 30 s at 23M on this host vs ~4 s with sorted
+        # queries (sequential cache advance).
         if nnz:
-            rev_vals = self.vals[sort_idx][pos_c]
-            n_asym = int((has_rev & (rev_vals != self.vals)).sum())
+            fwd_keys, rev_keys = self._edge_keys()
+            if np.all(fwd_keys[:-1] <= fwd_keys[1:]):
+                sorted_keys, sorted_vals = fwd_keys, self.vals
+            else:
+                sort_idx = np.argsort(fwd_keys, kind="stable")
+                sorted_keys = fwd_keys[sort_idx]
+                sorted_vals = self.vals[sort_idx]
+            qi = np.argsort(rev_keys, kind="stable")
+            rev_q = rev_keys[qi]
+            pos_c = np.minimum(np.searchsorted(sorted_keys, rev_q), nnz - 1)
+            has_rev = sorted_keys[pos_c] == rev_q
+            n_one_way = int(nnz - has_rev.sum())
+            n_asym = int((has_rev
+                          & (sorted_vals[pos_c] != self.vals[qi])).sum())
         else:
-            n_asym = 0
+            n_one_way = n_asym = 0
 
         in_deg = np.bincount(cols, minlength=m)
         z_out = self.degrees == 0

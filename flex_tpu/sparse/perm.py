@@ -58,9 +58,14 @@ def apply_vertex_order(
     col_new = old_to_new[g.col[gather]]
     vals_new = g.vals[gather]
 
-    # Sort columns ascending within each row (stable lexsort on (row, col)).
-    rows_new = repeat_arange(new_deg, total=g.nnz)
-    sort_idx = np.lexsort((col_new, rows_new))
+    # Sort columns ascending within each row: stable argsort of the fused
+    # row*n+col key (lexsort on two separate keys measured 13.8 s at 23M
+    # on this host vs 3.0 s fused; n*n < 2^63 for any graph that fits RAM)
+    key = repeat_arange(new_deg, total=g.nnz)
+    np.multiply(key, n, out=key)
+    np.add(key, col_new, out=key)
+    sort_idx = np.argsort(key, kind="stable")
+    del key
     col_new = col_new[sort_idx].astype(np.int32)
     vals_new = vals_new[sort_idx]
 
