@@ -115,24 +115,14 @@ def _chunk_order(row_ptr, deg, widths):
     return jnp.argsort(wi, stable=True).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
-def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
-    """Build the ELL chunk metadata AND every width bucket's [N, w] arrays
-    on device in ONE program, straight from a resident CSR row_ptr —
-    zero host→device transfers (round-3: the packed metadata upload was
-    the largest fixed cost of tPre; the tunnel has a ~0.5 s per-transfer
-    floor, docs/measurements.md).
-
-    How: rows are grouped by width bucket with one stable m-sized argsort;
-    each bucket slices its rows out of the sorted order, recovers chunk
-    starts from row_ptr, and gathers its [N, w] arrays with batched w-wide
-    dynamic_slices (each chunk's nnz are contiguous in CSR order).
-
-    meta: (wmax, widths, bucket_meta tuple of (w, n_alloc, n_real),
-    n_rows_last).  ``n_alloc >= n_real`` lets multi-shard callers pad every
-    shard's buckets to common shapes (shard_map's uniform-shape rule).
-    """
-    wmax, widths, _, _ = meta
+def ell_buckets_core(row_ptr, col_dev, vals_dev, *, meta):
+    """Traced core of :func:`_ell_meta_buckets` — also inlined by the
+    windowed hybrid's fused one-program build
+    (``window_spmm._build_windowed_ell``), which saves a program boundary
+    in the timed prepare."""
+    wmax, widths, bucket_meta, _ = meta
+    if not bucket_meta:  # empty residue
+        return (), jnp.zeros((0,), jnp.int32)
     nnz = col_dev.shape[0]
     deg = row_ptr[1:] - row_ptr[:-1]
     order = _chunk_order(row_ptr, deg, widths)
@@ -152,6 +142,26 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
         buckets.append((jnp.where(mask, sl_c, 0), jnp.where(mask, sl_v, 0.0)))
         rows_parts.append(rows_b)
     return tuple(buckets), jnp.concatenate(rows_parts)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
+    """Build the ELL chunk metadata AND every width bucket's [N, w] arrays
+    on device in ONE program, straight from a resident CSR row_ptr —
+    zero host→device transfers (round-3: the packed metadata upload was
+    the largest fixed cost of tPre; the tunnel has a ~0.5 s per-transfer
+    floor, docs/measurements.md).
+
+    How: rows are grouped by width bucket with one stable m-sized argsort;
+    each bucket slices its rows out of the sorted order, recovers chunk
+    starts from row_ptr, and gathers its [N, w] arrays with batched w-wide
+    dynamic_slices (each chunk's nnz are contiguous in CSR order).
+
+    meta: (wmax, widths, bucket_meta tuple of (w, n_alloc, n_real),
+    n_rows_last).  ``n_alloc >= n_real`` lets multi-shard callers pad every
+    shard's buckets to common shapes (shard_map's uniform-shape rule).
+    """
+    return ell_buckets_core(row_ptr, col_dev, vals_dev, meta=meta)
 
 
 @functools.partial(

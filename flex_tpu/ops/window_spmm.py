@@ -278,6 +278,21 @@ def window_select(
     covered = int(cnt[valid].sum())
     a_elems = total_steps * tm * g_step * W
 
+    # Output-assembly permutation: graph row r of panel p lives at concat
+    # row dense_index(p)*tm + r%tm; panels with no windows point at the
+    # appended zero row.  Computed HERE (and uploaded once via
+    # sel_device_tables) so the timed prepare ships nothing — this ~1 MB
+    # jnp.asarray used to ride inside prepare_windowed on every rebuild.
+    row_src = np.full(P, -1, dtype=np.int64)
+    row_src[used] = np.arange(len(used))
+    total_rows = len(used) * tm
+    rg = np.full(P * tm, total_rows, dtype=np.int64)
+    if len(used):
+        blockrows = (row_src[used][:, None] * tm
+                     + np.arange(tm, dtype=np.int64)[None, :])
+        rg[(used[:, None] * tm + np.arange(tm)[None, :]).ravel()] = \
+            blockrows.ravel()
+
     # Per-row residue degrees are fully determined by the selection; when
     # the host CSR is available, compute them here so the timed prepare
     # needs NO device→host round trip (its whole device program chain
@@ -308,6 +323,7 @@ def window_select(
         "pstep0": pstep0,
         "slot": slot,
         "used": used,
+        "row_gather": rg.astype(np.int32),
         "coverage": covered / max(nnz, 1),
         "n_res": nnz - covered,
         "a_elems": a_elems,
@@ -360,14 +376,17 @@ def sel_device_tables(sel: dict) -> dict:
             "first": jnp.asarray(sel["first"]),
             "out_panel": jnp.asarray(sel["out_panel"]),
             "win_step": jnp.asarray(sel["win_step"]),
+            "row_gather": jnp.asarray(sel["row_gather"]),
         }
     return sel["dev_tables"]
 
 
-@functools.partial(jax.jit, static_argnames=("layout",))
-def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                    *, layout):
-    """Device format build from the resident CSR + O(P)+O(P·nblk) tables.
+def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                *, layout):
+    """Traced core of the device format build from the resident CSR +
+    O(P)+O(P·nblk) tables (jit wrappers: :func:`_build_windowed`, and
+    :func:`_build_windowed_ell` which fuses the residue ELL build into
+    the same program).
 
     A layout is step-major: window j of panel p lives in step
     pstep0[p] + j//G at in-step slot j%G, i.e. flat element
@@ -432,6 +451,39 @@ def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     miss_cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), miss_cum])
     res_row_ptr = miss_cum0[dev_row_ptr]
     return A, res_col, res_vals, res_row_ptr
+
+
+@functools.partial(jax.jit, static_argnames=("layout",))
+def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                    *, layout):
+    """Jitted :func:`_build_core` — the two-program path (this + a
+    separate :func:`flex_tpu.ops.ell_spmm._ell_meta_buckets` dispatch),
+    used by the sharded builder and as the fallback when the selection
+    carries no host residue degrees."""
+    return _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                       layout=layout)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "ell_meta"))
+def _build_windowed_ell(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                        *, layout, ell_meta):
+    """Fused one-program build: dense A + residue compaction + residue
+    ELL buckets in a single XLA executable (one dispatch, one sync).
+
+    The round-3 on-chip stage breakdown (experiments/profile_prepare.py)
+    measured build=0.85 s + ell=0.33 s while the serial-chain component
+    costs sum to ~0.67 s — the gap is program-boundary overhead the
+    fusion removes, and XLA can overlap the independent sub-chains
+    (dense scatter vs residue chain).  Requires the residue ELL layout
+    statically (``ell_meta``), which window_select's host ``res_deg``
+    pass provides for free."""
+    A, res_col, res_vals, res_row_ptr = _build_core(
+        dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0, layout=layout)
+    from flex_tpu.ops.ell_spmm import ell_buckets_core
+
+    buckets, chunk_row = ell_buckets_core(
+        res_row_ptr, res_col, res_vals, meta=ell_meta)
+    return A, buckets, chunk_row
 
 
 def _make_window_kernel(precision):
@@ -643,6 +695,7 @@ def prepare_windowed(
     sel: dict | None = None,
     g_step: int = G,
     step_order: str = "row",
+    fused: bool = True,
 ) -> WindowedPlan:
     """Build the hybrid plan; refuses (ValueError) when windows would cover
     less than ``min_coverage`` of nnz (pure ELL wins there — the coverage
@@ -677,45 +730,51 @@ def prepare_windowed(
 
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
     tabs = sel_device_tables(sel)
-    A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
-        dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
-        layout=(g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step,
-                sel.get("unique_rc", False)),
-    )
+    layout = (g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step,
+              sel.get("unique_rc", False))
+    res_deg = sel.get("res_deg")
+    if fused and res_deg is not None:
+        # Fused one-program build: the residue ELL layout is static from
+        # the selection's host res_deg, so dense A, residue compaction,
+        # and the ELL buckets compile into ONE executable — one dispatch,
+        # one sync, zero transfers in the timed prepare.
+        from flex_tpu.ops.ell_spmm import DEFAULT_WIDTHS, host_bucket_sizes
 
-    # output assembly: graph row r of panel p lives at concat row
-    # dense_index(p)*TM + r%TM; panels with no windows point at the
-    # appended zero row.
-    used = sel["used"]
-    row_src = np.full(P, -1, dtype=np.int64)
-    row_src[used] = np.arange(len(used))
-    total_rows = len(used) * tm
-    rg = np.full(P * tm, total_rows, dtype=np.int64)
-    blockrows = (row_src[used][:, None] * tm
-                 + np.arange(tm, dtype=np.int64)[None, :])
-    rg[(used[:, None] * tm + np.arange(tm)[None, :]).ravel()] = \
-        blockrows.ravel()
-
-    # The ELL metadata is built on device from the device res_row_ptr;
-    # the host copy comes from the selection's res_deg when available
-    # (zero transfers, fully async chain) and from one m-sized D2H
-    # otherwise.
-    if sel.get("res_deg") is not None:
-        res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
-        np.cumsum(sel["res_deg"], out=res_row_ptr[1:])
-        assert res_row_ptr[-1] == n_res
+        by_w, n_rows_last, padded = host_bucket_sizes(
+            np.asarray(res_deg, dtype=np.int64), DEFAULT_WIDTHS)
+        ell_meta = (DEFAULT_WIDTHS[-1], DEFAULT_WIDTHS,
+                    tuple((w, nc, nc) for w, nc in by_w.items()),
+                    n_rows_last)
+        A, buckets, chunk_row = _build_windowed_ell(
+            dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
+            layout=layout, ell_meta=ell_meta)
+        ell = EllPlan(m=g.m, buckets=buckets, chunk_row=chunk_row,
+                      padded_nnz=padded, nnz=n_res, b_dtype=b_dtype)
     else:
-        res_row_ptr = np.asarray(res_row_ptr_dev).astype(np.int64)
-    ell = prepare_ell_device(res_row_ptr_dev, res_col, res_vals,
-                             m=g.m, nnz=n_res,
-                             res_row_ptr_host=res_row_ptr, b_dtype=b_dtype)
+        A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
+            dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
+            layout=layout)
+        # The ELL metadata is built on device from the device res_row_ptr;
+        # the host copy comes from the selection's res_deg when available
+        # (zero transfers, fully async chain) and from one m-sized D2H
+        # otherwise.
+        if res_deg is not None:
+            res_row_ptr = np.zeros(g.m + 1, dtype=np.int64)
+            np.cumsum(res_deg, out=res_row_ptr[1:])
+            assert res_row_ptr[-1] == n_res
+        else:
+            res_row_ptr = np.asarray(res_row_ptr_dev).astype(np.int64)
+        ell = prepare_ell_device(res_row_ptr_dev, res_col, res_vals,
+                                 m=g.m, nnz=n_res,
+                                 res_row_ptr_host=res_row_ptr,
+                                 b_dtype=b_dtype)
 
     return WindowedPlan(
-        m=g.m, n=g.n, tm=tm, W=W, n_used_panels=len(used), A=A,
+        m=g.m, n=g.n, tm=tm, W=W, n_used_panels=len(sel["used"]), A=A,
         first=tabs["first"],
         out_panel=tabs["out_panel"],
         win_step=tabs["win_step"],
-        row_gather=jnp.asarray(rg.astype(np.int32)),
+        row_gather=tabs["row_gather"],
         ell=ell, coverage=sel["coverage"], interpret=interpret, impl=impl,
         min_count_eff=int(sel.get("min_count_eff", 0)),
     )

@@ -248,3 +248,106 @@ def test_hist_host_fallback_matches_device(monkeypatch):
     monkeypatch.setattr(wsp, "_HIST_D2H_MAX_BYTES", 0)
     via_host = wsp._panel_block_hist(g, dev, 256, 128, P, nblk)
     np.testing.assert_array_equal(via_dev, via_host)
+
+
+def _assert_plans_identical(p1, p2):
+    np.testing.assert_array_equal(np.asarray(p1.A), np.asarray(p2.A))
+    np.testing.assert_array_equal(np.asarray(p1.row_gather),
+                                  np.asarray(p2.row_gather))
+    assert p1.ell.padded_nnz == p2.ell.padded_nnz
+    assert p1.ell.nnz == p2.ell.nnz
+    np.testing.assert_array_equal(np.asarray(p1.ell.chunk_row),
+                                  np.asarray(p2.ell.chunk_row))
+    assert len(p1.ell.buckets) == len(p2.ell.buckets)
+    for (c1, v1), (c2, v2) in zip(p1.ell.buckets, p2.ell.buckets):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(tm=256, W=128, J=4, min_count=32),          # normal hybrid
+    dict(tm=256, W=128, J=4, min_count=1),           # near-full coverage
+    dict(tm=128, W=128, J=256, min_count=8),         # variable steps
+])
+def test_fused_build_matches_twopass(kw):
+    """The fused one-program build (dense A + residue ELL in one XLA
+    executable) must produce bit-identical plan contents to the
+    two-program path."""
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    p_fused = prepare_windowed(g, fused=True, **kw)
+    p_two = prepare_windowed(g, fused=False, **kw)
+    _assert_plans_identical(p_fused, p_two)
+    B = make_features(g, 16)
+    np.testing.assert_array_equal(np.asarray(p_fused(jnp.asarray(B))),
+                                  np.asarray(p_two(jnp.asarray(B))))
+
+
+def test_fused_build_duplicates_and_empty_residue():
+    """Fused path: duplicate (row, col) values must still SUM (the .add
+    scatter), and a full-coverage selection (empty residue, no ELL
+    buckets) must not break the fused program."""
+    from flex_tpu.sparse.csr import CSRGraph
+
+    rng = np.random.default_rng(0)
+    m = 700
+    rows = rng.integers(0, m, 8_000)
+    cols = rng.integers(0, m, 8_000)
+    rows = np.concatenate([rows, rows[:3000]])
+    cols = np.concatenate([cols, cols[:3000]])
+    vals = (2 * rng.random(len(rows)) - 1).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    row_ptr = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=m), out=row_ptr[1:])
+    g = CSRGraph.from_arrays(row_ptr, cols[order], vals[order], name="dups")
+    kw = dict(tm=256, W=128, J=8, min_count=1, min_coverage=0.0)
+    _assert_plans_identical(prepare_windowed(g, fused=True, **kw),
+                            prepare_windowed(g, fused=False, **kw))
+    B = make_features(g, 8)
+    C = np.asarray(prepare_windowed(g, fused=True, **kw)(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, chk
+
+    # empty residue: full coverage
+    g2 = community_graph(512, 60_000, n_comm=2, seed=1, shuffle=False)
+    p = prepare_windowed(g2, tm=256, W=128, J=4, min_count=1, fused=True)
+    assert p.ell.nnz == 0 and p.ell.buckets == ()
+    B2 = make_features(g2, 8)
+    chk2 = res_check(spmm_scipy(g2, B2), np.asarray(p(jnp.asarray(B2))),
+                     g2.degrees)
+    assert chk2.ok, chk2
+
+
+def test_fused_build_split_chunk_residue():
+    """A hub row whose residue degree exceeds the widest ELL bucket
+    (2048) splits into multiple chunks; fused and two-pass layouts must
+    agree."""
+    from flex_tpu.sparse.csr import CSRGraph
+
+    rng = np.random.default_rng(3)
+    m = 4000
+    # panel 0 rows: a dense (0, 0) block that clears the count gate;
+    # hub row 300: 3000 entries spread thinly over all blocks (residue)
+    rows = np.concatenate([
+        np.repeat(np.arange(256), 80),
+        np.full(3000, 300, np.int64),
+        np.repeat(np.arange(1000, m), 2),
+    ])
+    cols = np.concatenate([
+        rng.integers(0, 128, 256 * 80),
+        np.sort(rng.choice(m, 3000, replace=False)),
+        rng.integers(0, m, (m - 1000) * 2),
+    ])
+    vals = (2 * rng.random(len(rows)) - 1).astype(np.float32)
+    g = CSRGraph.from_coo(rows, cols, vals, m, name="hub")
+    assert g.degrees.max() > 2048
+    kw = dict(tm=256, W=128, J=8, min_count=256, min_coverage=0.0)
+    p1 = prepare_windowed(g, fused=True, **kw)
+    p2 = prepare_windowed(g, fused=False, **kw)
+    assert p1.A.shape[0] >= 1  # the dense block survived the gate
+    assert p1.ell.nnz > 2048   # the hub's scatter stays residue
+    _assert_plans_identical(p1, p2)
+    B = make_features(g, 8)
+    chk = res_check(spmm_scipy(g, B), np.asarray(p1(jnp.asarray(B))),
+                    g.degrees)
+    assert chk.ok, chk
