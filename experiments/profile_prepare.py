@@ -62,13 +62,14 @@ def main():
     print(f"cold call: {time.time()-t0:.1f}s", flush=True)
     del plan
 
-    # warm stages
+    # warm stages (two-program path)
+    layout = (g.nnz, g.m, 256, 128, sel["nblk"], sel["n_res"],
+              sel["total_steps"], sel["G"], sel.get("unique_rc", False))
     for rep in range(2):
         t0 = time.time()
         A, res_col, res_vals, res_rp_dev = _build_windowed(
             dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
-            layout=(g.nnz, g.m, 256, 128, sel["nblk"], sel["n_res"],
-                    sel["total_steps"], sel["G"]))
+            layout=layout)
         _sync(res_rp_dev)
         t_build = time.time() - t0
         t0 = time.time()
@@ -84,14 +85,21 @@ def main():
               flush=True)
         del A, res_col, res_vals, res_rp_dev, ell
 
-    # full warm prepare + timed call
-    t0 = time.time()
-    plan = prepare_windowed(g, dev=dev, sel=sel)
-    _sync(plan.__dict__)
-    t_pre = time.time() - t0
+    # full warm prepare + timed call, both build modes (fused = default:
+    # one XLA program for dense A + residue compaction + ELL buckets)
+    plan = None
+    for fused in (False, True, True):
+        if plan is not None:
+            del plan
+        t0 = time.time()
+        plan = prepare_windowed(g, dev=dev, sel=sel, fused=fused)
+        _sync(plan.__dict__)
+        t_pre = time.time() - t0
+        print(f"warm tPre ({'fused' if fused else 'two-program'}) = "
+              f"{t_pre:.2f}s", flush=True)
     t_elap = _time_device(plan, B, iters=20)
     gf = 2 * g.nnz * k / t_elap / 1e9
-    print(f"warm tPre={t_pre:.2f}s tElap={t_elap*1e3:.1f}ms {gf:.1f} GF/s "
+    print(f"tElap={t_elap*1e3:.1f}ms {gf:.1f} GF/s "
           f"pre/elap={t_pre/t_elap:.1f}", flush=True)
 
     if "--check" in sys.argv:
