@@ -126,3 +126,70 @@ def test_community_graph():
     # shuffled ids: contiguous-block homophily collapses to ~random
     intra2 = float((comm_of[rows2] == comm_of[g2.col]).mean())
     assert intra2 < intra - 0.2, (intra, intra2)
+
+
+def test_pattern_is_symmetric():
+    """Exact structural-symmetry detection (rabbit's force_undirected
+    gate): symmetric pattern with asymmetric VALUES is still
+    pattern-symmetric; one missing reverse edge breaks it; in-degree
+    mismatch takes the early exit."""
+    from flex_tpu.sparse.csr import CSRGraph
+
+    def make(pairs, m, vals=None):
+        rows = np.array([p[0] for p in pairs], np.int64)
+        cols = np.array([p[1] for p in pairs], np.int64)
+        v = np.asarray(vals, np.float32) if vals is not None \
+            else np.ones(len(pairs), np.float32)
+        return CSRGraph.from_coo(rows, cols, v, m, name="t")
+
+    sym = make([(0, 1), (1, 0), (1, 2), (2, 1), (2, 2)], 3)
+    assert sym.pattern_is_symmetric
+    assert sym.stats.n_edges_one_way == 0
+
+    # same pattern, asymmetric values: pattern-symmetric, value-asymmetric
+    symv = make([(0, 1), (1, 0), (1, 2), (2, 1)], 3,
+                vals=[1.0, 2.0, 3.0, 3.0])
+    assert symv.pattern_is_symmetric
+    assert symv.stats.n_edges_asymmetric == 2  # the 1.0/2.0 pair, both ways
+
+    # a one-way edge whose endpoints still have matching in/out degrees
+    # (0->1, 1->2, 2->0 cycle): must NOT pass the in-degree early exit
+    cyc = make([(0, 1), (1, 2), (2, 0)], 3)
+    assert not cyc.pattern_is_symmetric
+    assert cyc.stats.n_edges_one_way == 3
+
+    asym = make([(0, 1), (1, 0), (2, 1)], 3)
+    assert not asym.pattern_is_symmetric
+    assert asym.stats.n_edges_one_way == 1
+
+    empty = CSRGraph.from_arrays(np.zeros(4, np.int64),
+                                 np.zeros(0, np.int64),
+                                 np.zeros(0, np.float32), name="e")
+    assert empty.pattern_is_symmetric
+
+
+def test_stats_match_bruteforce_random():
+    """stats' sorted-query searchsorted path must agree with a brute-force
+    set computation on random directed graphs (incl. duplicate-free
+    asymmetric-value cases)."""
+    from flex_tpu.sparse.csr import CSRGraph
+
+    rng = np.random.default_rng(4)
+    for trial in range(5):
+        m = 60
+        nnz = 400
+        rows = rng.integers(0, m, nnz)
+        cols = rng.integers(0, m, nnz)
+        keep = np.unique(rows * m + cols)  # duplicate-free
+        rows, cols = keep // m, keep % m
+        vals = rng.integers(1, 4, len(rows)).astype(np.float32)
+        g = CSRGraph.from_coo(rows, cols, vals, m, name="r")
+        pairs = {(int(r), int(c)): float(v)
+                 for r, c, v in zip(rows, cols, vals)}
+        one_way = sum(1 for (r, c) in pairs if (c, r) not in pairs)
+        asym = sum(1 for (r, c), v in pairs.items()
+                   if (c, r) in pairs and pairs[(c, r)] != v)
+        s = g.stats
+        assert s.n_edges_one_way == one_way, trial
+        assert s.n_edges_asymmetric == asym, trial
+        assert g.pattern_is_symmetric == (one_way == 0), trial
