@@ -43,9 +43,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flex_tpu.ops.window_spmm import (
-    G, WindowedPlan, _build_windowed, _window_pallas, _window_xla,
-    pattern_is_unique,
-    window_select,
+    G, WindowedPlan, _build_windowed, _build_windowed_ell, _window_pallas,
+    _window_xla, pattern_is_unique, window_select,
 )
 from flex_tpu.parallel.spmm_sharded import (
     ShardedEllPlan, _split_rows_by_nnz,
@@ -276,24 +275,58 @@ def prepare_windowed_sharded(
     zero_row = n_panels_pad * tm  # index of the appended zero row
     A_shape = (D, S_max, tm, G * W)
 
-    from flex_tpu.ops.ell_spmm import host_bucket_sizes
+    from flex_tpu.ops.ell_spmm import EllPlan, host_bucket_sizes
     from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
+
+    # Fused per-shard build (dense A + residue ELL in one program per
+    # shard, zero per-shard D2H) needs every shard's residue degrees on
+    # host — window_select provides them whenever the caller handed host
+    # col/degrees views.  The common (maxed) bucket allocation is then
+    # known BEFORE any build.
+    use_fused = all(s.get("res_deg") is not None for s in sels)
+    allocs: dict[int, int] = {}
+    shard_byw: list = []
+    if use_fused:
+        for sel in sels:
+            by_w, n_rows_last, _ = host_bucket_sizes(
+                np.asarray(sel["res_deg"], dtype=np.int64), SHARDED_WIDTHS)
+            shard_byw.append((by_w, n_rows_last))
+            for w, nc in by_w.items():
+                allocs[w] = max(allocs.get(w, 0), nc)
+        live_ws = [int(w) for w in SHARDED_WIDTHS if allocs.get(int(w), 0)]
+        padded_alloc = sum(allocs[w] * w for w in live_ws)
 
     A_per_device: dict = {}
     first_sh, op_sh, ws_sh, rg_sh = [], [], [], []
     shard_residues = []
+    res_plans: list = []
+    res_nnz: list[int] = []
     for d_idx, (dev_s, sel) in enumerate(zip(shard_devs, sels)):
         r0, r1, home = shard_meta[d_idx]
         # tables upload O(P·nblk) to the shard's device; the O(nnz) build
         # then executes there (its inputs are committed to `home`)
         slot_d = jax.device_put(sel["slot"], home)
         pstep0_d = jax.device_put(sel["pstep0"].astype(np.int32), home)
-        A, res_col, res_vals, res_rp = _build_windowed(
-            dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
-            layout=(dev_s.nnz, dev_s.m, tm, W, nblk, sel["n_res"],
-                    sel["total_steps"], sel["G"],
-                    sel.get("unique_rc", False)),
-        )
+        layout = (dev_s.nnz, dev_s.m, tm, W, nblk, sel["n_res"],
+                  sel["total_steps"], sel["G"], sel.get("unique_rc", False))
+        if use_fused:
+            by_w, n_rows_last = shard_byw[d_idx]
+            ell_meta = (SHARDED_WIDTHS[-1], tuple(SHARDED_WIDTHS),
+                        tuple((w, allocs[w], by_w.get(w, 0))
+                              for w in live_ws),
+                        n_rows_last)
+            A, buckets, chunk_row = _build_windowed_ell(
+                dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
+                layout=layout, ell_meta=ell_meta)
+            res_plans.append(EllPlan(
+                m=dev_s.m, buckets=buckets, chunk_row=chunk_row,
+                padded_nnz=padded_alloc if live_ws else 0,
+                nnz=sel["n_res"]))
+            res_nnz.append(int(sel["n_res"]))
+        else:
+            A, res_col, res_vals, res_rp = _build_windowed(
+                dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
+                layout=layout)
         S = sel["total_steps"]
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
         for dvc in devices_of_shard[d_idx]:
@@ -301,8 +334,9 @@ def prepare_windowed_sharded(
             moved.block_until_ready()
             A_per_device[dvc] = moved
         del A, A_pad
-        shard_residues.append((res_col, res_vals, res_rp,
-                               np.asarray(res_rp).astype(np.int64)))
+        if not use_fused:
+            shard_residues.append((res_col, res_vals, res_rp,
+                                   np.asarray(res_rp).astype(np.int64)))
         first_sh.append(np.pad(sel["first"], (0, S_max - S),
                                constant_values=1))
         op_sh.append(np.pad(sel["out_panel"], (0, S_max - S),
@@ -329,15 +363,22 @@ def prepare_windowed_sharded(
     rg_st = jax.device_put(np.stack(rg_sh), sh2)
 
     # --- residue: per-shard device ELL under the SAME row bounds ---------
-    # common (maxed) bucket allocation so every shard shares one program
-    allocs: dict[int, int] = {}
-    for *_, rp_host in shard_residues:
-        by_w, _, _ = host_bucket_sizes(np.diff(rp_host), SHARDED_WIDTHS)
-        for w, nc in by_w.items():
-            allocs[w] = max(allocs.get(w, 0), nc)
-    ell = _assemble_sharded_residue(
-        mesh, axis, g, bounds, shard_residues, allocs, m_shard_pad,
-        devices_of_shard, shard_of_device)
+    if use_fused:
+        ell = _stack_residue_plans(
+            mesh, axis, g, bounds, res_plans, allocs, m_shard_pad,
+            devices_of_shard, shard_of_device)
+    else:
+        # common (maxed) bucket allocation so every shard shares one
+        # program — only computable after the builds here (the residue
+        # row_ptr had to come back from each device)
+        for *_, rp_host in shard_residues:
+            by_w, _, _ = host_bucket_sizes(np.diff(rp_host), SHARDED_WIDTHS)
+            for w, nc in by_w.items():
+                allocs[w] = max(allocs.get(w, 0), nc)
+        ell = _assemble_sharded_residue(
+            mesh, axis, g, bounds, shard_residues, allocs, m_shard_pad,
+            devices_of_shard, shard_of_device)
+        res_nnz = [int(rp[-1]) for *_, rp in shard_residues]
 
     return ShardedWindowedPlan(
         mesh=mesh, axis=axis, m=g.m, n=g.n, tm=tm, W=W,
@@ -345,7 +386,7 @@ def prepare_windowed_sharded(
         n_panels_pad=n_panels_pad, A=A_stack, first=first_st,
         out_panel=op_st, win_step=ws_st, row_gather=rg_st, ell=ell,
         coverage=coverage, interpret=interpret, impl=impl,
-        res_shard_nnz=tuple(int(rp[-1]) for *_, rp in shard_residues),
+        res_shard_nnz=tuple(res_nnz),
         shard_sel=tuple(
             (int(s["dense_bytes"]), int(s["min_count_eff"]),
              round(float(s["coverage"]), 4)) for s in sels),
@@ -369,18 +410,34 @@ def _assemble_sharded_residue(mesh, axis, g, bounds, shard_residues,
             mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
             m_shard_pad=m_shard_pad, buckets=(),
             chunk_row=_jnp.zeros((0,), _jnp.int32), nnz=0, padded_nnz=0)
-    sh2 = NamedSharding(mesh, P(axis, None))
-    sh3 = NamedSharding(mesh, P(axis, None, None))
     plans = []
-    total_res = 0
     for d_idx, (res_col, res_vals, res_rp, rp_host) in \
             enumerate(shard_residues):
-        n_res = int(rp_host[-1])
-        total_res += n_res
         plans.append(prepare_ell_device(
             res_rp, res_col, res_vals, m=bounds[d_idx][1] - bounds[d_idx][0],
-            nnz=n_res, res_row_ptr_host=rp_host, widths=SHARDED_WIDTHS,
-            bucket_alloc=allocs))
+            nnz=int(rp_host[-1]), res_row_ptr_host=rp_host,
+            widths=SHARDED_WIDTHS, bucket_alloc=allocs))
+    return _stack_residue_plans(mesh, axis, g, bounds, plans, allocs,
+                                m_shard_pad, devices_of_shard,
+                                shard_of_device)
+
+
+def _stack_residue_plans(mesh, axis, g, bounds, plans, allocs, m_shard_pad,
+                         devices_of_shard, shard_of_device) -> ShardedEllPlan:
+    """Stack per-shard :class:`EllPlan`s (common maxed bucket shapes,
+    already resident on their shards' devices) into one
+    :class:`ShardedEllPlan` — nothing moves through the host."""
+    from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
+
+    D = len(bounds)
+    if not allocs:  # zero residue everywhere
+        return ShardedEllPlan(
+            mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
+            m_shard_pad=m_shard_pad, buckets=(),
+            chunk_row=jnp.zeros((0,), jnp.int32), nnz=0, padded_nnz=0)
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    total_res = sum(p.nnz for p in plans)
     live_ws = [w for w in SHARDED_WIDTHS if allocs.get(int(w), 0) > 0]
     buckets = []
     for b_i, w in enumerate(live_ws):
