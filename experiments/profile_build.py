@@ -32,7 +32,7 @@ def main():
     tabs = sel_device_tables(sel)
     _sync(tabs)
     layout = (g.nnz, g.m, 256, 128, sel["nblk"], sel["n_res"],
-              sel["total_steps"], sel["G"])
+              sel["total_steps"], sel["G"], sel.get("unique_rc", False))
 
     def build():
         return _build_windowed(dev.row_ptr, dev.col, dev.vals,

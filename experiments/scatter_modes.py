@@ -32,17 +32,21 @@ import numpy as np
 from flex_tpu.bench.harness import _sync
 
 
-def chain_time(body, y0, lo=2, hi=8):
+def chain_time(make_body, y0, idx, upd, lo=2, hi=8):
+    """idx/upd enter as jit ARGUMENTS (the body closes only over their
+    tracers) — closing a jitted function over concrete device arrays
+    bakes them into the executable as constants (CLAUDE.md), which is
+    not what the real build path dispatches."""
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(y, *, n):
-        return jax.lax.fori_loop(0, n, body, y)
+    def chain(y, idx, upd, *, n):
+        return jax.lax.fori_loop(0, n, make_body(idx, upd), y)
 
     ts = {}
     for n in (lo, hi):
-        out = chain(y0, n=n)
+        out = chain(y0, idx, upd, n=n)
         _sync(out)
         t0 = time.perf_counter()
-        _sync(chain(y0, n=n))
+        _sync(chain(y0, idx, upd, n=n))
         ts[n] = time.perf_counter() - t0
     return (ts[hi] - ts[lo]) / (hi - lo)
 
@@ -58,29 +62,30 @@ def main():
         jnp.int64)
     v2 = jnp.stack([v32, v32], axis=1)  # [nnz, 2] int32
 
-    def mk(dst_dtype, upd, mode="set", wide=False):
-        def body(i, y):
-            off = jnp.minimum(y.reshape(-1)[0].astype(jnp.int32), 0)
-            tgt = jnp.zeros((size, 2) if wide else (size,), dst_dtype)
-            at = tgt.at[idx + off]
-            out = at.set(upd, mode="drop") if mode == "set" \
-                else at.add(upd, mode="drop")
-            return out
-        return body
+    def mk(dst_dtype, mode="set", wide=False):
+        def make_body(idx_t, upd_t):
+            def body(i, y):
+                off = jnp.minimum(y.reshape(-1)[0].astype(jnp.int32), 0)
+                tgt = jnp.zeros((size, 2) if wide else (size,), dst_dtype)
+                at = tgt.at[idx_t + off]
+                return at.set(upd_t, mode="drop") if mode == "set" \
+                    else at.add(upd_t, mode="drop")
+            return body
+        return make_body
 
     cases = [
-        ("i32 set", mk(jnp.int32, v32), jnp.zeros((size,), jnp.int32)),
-        ("f32 set", mk(jnp.float32, vf), jnp.zeros((size,), jnp.float32)),
-        ("f32 add", mk(jnp.float32, vf, mode="add"),
+        ("i32 set", mk(jnp.int32), v32, jnp.zeros((size,), jnp.int32)),
+        ("f32 set", mk(jnp.float32), vf, jnp.zeros((size,), jnp.float32)),
+        ("f32 add", mk(jnp.float32, mode="add"), vf,
          jnp.zeros((size,), jnp.float32)),
-        ("i64 set (packed col|valbits)", mk(jnp.int64, v64),
+        ("i64 set (packed col|valbits)", mk(jnp.int64), v64,
          jnp.zeros((size,), jnp.int64)),
-        ("i32x2 row set [nnz,2]", mk(jnp.int32, v2, wide=True),
+        ("i32x2 row set [nnz,2]", mk(jnp.int32, wide=True), v2,
          jnp.zeros((size, 2), jnp.int32)),
     ]
-    for name, body, y0 in cases:
+    for name, make_body, upd, y0 in cases:
         try:
-            t = chain_time(body, y0)
+            t = chain_time(make_body, y0, idx, upd)
             print(f"{name:32s} {t*1e3:8.1f} ms  "
                   f"{nnz/t/1e6:7.1f} M updates/s", flush=True)
         except Exception as e:

@@ -343,15 +343,13 @@ def prepare_windowed_sharded(
                             constant_values=U_max))
         ws_sh.append(np.pad(sel["win_step"], (0, (S_max - S) * G),
                             constant_values=nblk))
-        used = sel["used"]
-        P_s = -(-dev_s.m // tm)
-        row_src = np.full(P_s, -1, dtype=np.int64)
-        row_src[used] = np.arange(len(used))
-        rg = np.full((P_s, tm), zero_row, dtype=np.int64)
-        rg[used] = (row_src[used][:, None] * tm
-                    + np.arange(tm, dtype=np.int64)[None, :])
+        # reuse the selection's assembly permutation (window_select's
+        # row_gather); only the sentinel differs — the sharded layout's
+        # shared dump/zero row instead of the single-plan appended row
+        sel_rg = sel["row_gather"].astype(np.int64)  # copy
+        sel_rg[sel_rg == len(sel["used"]) * tm] = zero_row
         rg_full = np.full(m_shard_pad, zero_row, dtype=np.int64)
-        rg_full[:P_s * tm] = rg.ravel()
+        rg_full[:len(sel_rg)] = sel_rg
         rg_sh.append(rg_full.astype(np.int32))
 
     A_stack = jax.make_array_from_single_device_arrays(
@@ -402,14 +400,6 @@ def _assemble_sharded_residue(mesh, axis, g, bounds, shard_residues,
     from flex_tpu.ops.ell_spmm import prepare_ell_device
     from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
 
-    D = len(bounds)
-    if not allocs:  # zero residue everywhere
-        import jax.numpy as _jnp
-
-        return ShardedEllPlan(
-            mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
-            m_shard_pad=m_shard_pad, buckets=(),
-            chunk_row=_jnp.zeros((0,), _jnp.int32), nnz=0, padded_nnz=0)
     plans = []
     for d_idx, (res_col, res_vals, res_rp, rp_host) in \
             enumerate(shard_residues):

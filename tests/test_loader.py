@@ -193,3 +193,18 @@ def test_stats_match_bruteforce_random():
         assert s.n_edges_one_way == one_way, trial
         assert s.n_edges_asymmetric == asym, trial
         assert g.pattern_is_symmetric == (one_way == 0), trial
+
+        # shuffled-within-row variant: exercises the unsorted-fwd_keys
+        # argsort fallback in stats and the fwd.sort() branch of
+        # pattern_is_symmetric (raw-loader graphs keep file order)
+        col_s = g.col.copy()
+        val_s = g.vals.copy()
+        for r in range(m):
+            a, b = g.row_ptr[r], g.row_ptr[r + 1]
+            p = rng.permutation(b - a)
+            col_s[a:b] = g.col[a:b][p]
+            val_s[a:b] = g.vals[a:b][p]
+        gs = CSRGraph.from_arrays(g.row_ptr, col_s, val_s, name="shuf")
+        assert gs.stats.n_edges_one_way == one_way, trial
+        assert gs.stats.n_edges_asymmetric == asym, trial
+        assert gs.pattern_is_symmetric == (one_way == 0), trial
