@@ -88,15 +88,16 @@ def main():
     # full warm prepare + timed call, both build modes (fused = default:
     # one XLA program for dense A + residue compaction + ELL buckets)
     plan = None
-    for fused in (False, True, True):
+    for fused in (False, "scatter", "scatter", True, True):
         if plan is not None:
             del plan
         t0 = time.time()
         plan = prepare_windowed(g, dev=dev, sel=sel, fused=fused)
         _sync(plan.__dict__)
         t_pre = time.time() - t0
-        print(f"warm tPre ({'fused' if fused else 'two-program'}) = "
-              f"{t_pre:.2f}s", flush=True)
+        name = {False: "two-program", True: "fused-slices",
+                "scatter": "fused-scatter"}[fused]
+        print(f"warm tPre ({name}) = {t_pre:.2f}s", flush=True)
     t_elap = _time_device(plan, B, iters=20)
     gf = 2 * g.nnz * k / t_elap / 1e9
     print(f"tElap={t_elap*1e3:.1f}ms {gf:.1f} GF/s "

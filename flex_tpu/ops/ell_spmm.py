@@ -318,6 +318,53 @@ def host_bucket_sizes(deg: np.ndarray, widths: tuple[int, ...]):
     return by_w, n_rows_last, padded
 
 
+def ell_scatter_layout(deg: np.ndarray, widths: tuple[int, ...]):
+    """Host O(m) layout for the scatter-assembled ELL (round-3 stage 2):
+    returns (bucket_meta, H, chunk_row, padded_total) where
+
+    - bucket_meta: tuple of (w, n_chunks, n_chunks) per live width,
+      ascending — same enumeration as :func:`host_bucket_sizes` /
+      the device ``_chunk_order`` (stable by width bucket, row-ascending
+      within a bucket, split rows on consecutive chunks);
+    - H[r] (int32[m]): row r's first-slot position in the bucket-major
+      padded flat array MINUS its exclusive residue-count prefix — so a
+      device scatter can place entry i at ``H[row(i)] + miss_rank(i)``
+      with no per-row division (chunks of one row are w-contiguous, so
+      base + t lands in chunk t//w at offset t%w automatically);
+    - chunk_row (int32[total_chunks]): output row per chunk.
+    """
+    deg = np.asarray(deg, dtype=np.int64)
+    m = len(deg)
+    wmax = widths[-1]
+    w_arr = np.asarray(widths, dtype=np.int64)
+    wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
+                           len(w_arr) - 1)]
+    wor = np.where(deg > wmax, wmax, wor)
+    live = deg > 0
+    bucket_meta = []
+    H = np.zeros(m, dtype=np.int64)
+    chunk_rows = []
+    excl = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(deg, out=excl[1:])  # exclusive residue-count prefix per row
+    off = 0
+    for w in widths:
+        mask = live & (wor == w)
+        rows_b = np.nonzero(mask)[0]
+        if not len(rows_b):
+            continue
+        n_chunks_per = -(-deg[rows_b] // w) if w == wmax \
+            else np.ones(len(rows_b), dtype=np.int64)
+        nc = int(n_chunks_per.sum())
+        bucket_meta.append((int(w), nc, nc))
+        base = off + (np.cumsum(n_chunks_per) - n_chunks_per) * w
+        H[rows_b] = base - excl[rows_b]
+        chunk_rows.append(np.repeat(rows_b, n_chunks_per))
+        off += nc * w
+    chunk_row = (np.concatenate(chunk_rows) if chunk_rows
+                 else np.zeros(0, np.int64)).astype(np.int32)
+    return tuple(bucket_meta), H.astype(np.int32), chunk_row, off
+
+
 def prepare_ell_device(
     row_ptr_dev,
     col_dev,

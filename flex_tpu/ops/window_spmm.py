@@ -381,31 +381,11 @@ def sel_device_tables(sel: dict) -> dict:
     return sel["dev_tables"]
 
 
-def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
                 *, layout):
-    """Traced core of the device format build from the resident CSR +
-    O(P)+O(P·nblk) tables (jit wrappers: :func:`_build_windowed`, and
-    :func:`_build_windowed_ell` which fuses the residue ELL build into
-    the same program).
-
-    A layout is step-major: window j of panel p lives in step
-    pstep0[p] + j//G at in-step slot j%G, i.e. flat element
-    (pstep0[p] + j//G)·(TM·G·W) + (row%TM)·(G·W) + (j%G)·W + col%W.
-
-    Rows are recovered from row_ptr with the indicator-cumsum trick
-    (searchsorted over nnz is ~200x slower on this chip —
-    docs/measurements.md).
-
-    Round-3 build: exactly TWO nnz-sized scatters (the dominant cost at
-    ~268 ms / 23M updates each) — vals into the dense A buffer, and the
-    residue source-index compaction; residue (col, val) then come from two
-    cheap n_res gathers, and the residue row_ptr falls out of the
-    miss-cumsum with one (m+1)-gather instead of a third scatter.
-
-    Returns (A [total_steps, TM, G*W], res_col, res_vals, res_row_ptr);
-    residue entries keep CSR order, so the ELL builder's
-    contiguous-slice layout stays valid.
-    """
+    """Traced dense-A build + per-nnz hit mask / miss-rank cumsum —
+    shared by the residue-compaction core and the scatter-assembled
+    residue variant."""
     nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
@@ -432,6 +412,37 @@ def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
          ).reshape(total_steps, TM, g_step * W)
 
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))  # int32-safe: nnz < 2^31
+    return A, hit, miss_cum
+
+
+def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
+                *, layout):
+    """Traced core of the device format build from the resident CSR +
+    O(P)+O(P·nblk) tables (jit wrappers: :func:`_build_windowed`, and
+    :func:`_build_windowed_ell` which fuses the residue ELL build into
+    the same program).
+
+    A layout is step-major: window j of panel p lives in step
+    pstep0[p] + j//G at in-step slot j%G, i.e. flat element
+    (pstep0[p] + j//G)·(TM·G·W) + (row%TM)·(G·W) + (j%G)·W + col%W.
+
+    Rows are recovered from row_ptr with the indicator-cumsum trick
+    (searchsorted over nnz is ~200x slower on this chip —
+    docs/measurements.md).
+
+    Round-3 build: exactly TWO nnz-sized scatters (the dominant cost at
+    ~268 ms / 23M updates each) — vals into the dense A buffer, and the
+    residue source-index compaction; residue (col, val) then come from two
+    cheap n_res gathers, and the residue row_ptr falls out of the
+    miss-cumsum with one (m+1)-gather instead of a third scatter.
+
+    Returns (A [total_steps, TM, G*W], res_col, res_vals, res_row_ptr);
+    residue entries keep CSR order, so the ELL builder's
+    contiguous-slice layout stays valid.
+    """
+    A, hit, miss_cum = _dense_core(dev_row_ptr, dev_col, dev_vals,
+                                   slot_tab, pstep0, layout=layout)
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
     pos = jnp.where(hit, n_res, miss_cum - 1)
     res_src = jnp.zeros((n_res,), jnp.int32).at[pos].set(
         jnp.arange(nnz, dtype=jnp.int32), mode="drop")
@@ -484,6 +495,55 @@ def _build_windowed_ell(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     buckets, chunk_row = ell_buckets_core(
         res_row_ptr, res_col, res_vals, meta=ell_meta)
     return A, buckets, chunk_row
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "bucket_meta", "padded_total"))
+def _build_windowed_ell_scatter(dev_row_ptr, dev_col, dev_vals, slot_tab,
+                                pstep0, h_tab, *, layout, bucket_meta,
+                                padded_total):
+    """Round-3 stage-2 variant: the residue is scattered DIRECTLY into
+    the padded bucket-major ELL layout, replacing the compaction scatter
+    + pack gather + per-bucket dynamic-slice assembly with one packed
+    [nnz, 2] scatter (plus an O(m)-update delta scatter and one nnz
+    cumsum).  Worth it only if the 2-wide scatter runs near the 1-wide
+    element rate — measured by experiments/scatter_modes.py before this
+    becomes a default.
+
+    ``h_tab[r] = row_flat_base[r] - residue_excl_prefix[r]`` (host,
+    :func:`flex_tpu.ops.ell_spmm.ell_scatter_layout`), so entry i lands
+    at ``h_tab[row(i)] + miss_rank(i)``; a row's chunks are consecutive
+    and w-contiguous, so base + t crosses chunk boundaries correctly.
+    h_tab is expanded per-nnz by the boundary-delta cumsum trick, not an
+    nnz-sized gather.  Duplicate (row, col) entries occupy distinct
+    residue slots, so the scatter is always a set.
+    """
+    A, hit, miss_cum = _dense_core(dev_row_ptr, dev_col, dev_vals,
+                                   slot_tab, pstep0, layout=layout)
+    nnz = layout[0]
+    dH = jnp.concatenate([h_tab[:1], jnp.diff(h_tab)])
+    delta = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[:-1]].add(
+        dH, mode="drop")  # empty trailing rows drop (no positions follow)
+    Hx = jnp.cumsum(delta)
+    dest = jnp.where(hit, padded_total, Hx + miss_cum - 1)
+    # packed on the INT side (f32 bit patterns as int32 are safe; the
+    # reverse bitcast of small ints makes denormals the TPU flushes)
+    packed = jnp.stack(
+        [dev_col, jax.lax.bitcast_convert_type(dev_vals, jnp.int32)],
+        axis=1)
+    flat2 = jnp.zeros((padded_total, 2), jnp.int32).at[dest].set(
+        packed, mode="drop")
+    buckets = []
+    off = 0
+    for w, n_alloc, _ in bucket_meta:
+        blk = jax.lax.slice(flat2, (off, 0), (off + n_alloc * w, 2))
+        buckets.append((
+            blk[:, 0].reshape(n_alloc, w),
+            jax.lax.bitcast_convert_type(blk[:, 1],
+                                         jnp.float32).reshape(n_alloc, w),
+        ))
+        off += n_alloc * w
+    return A, tuple(buckets)
 
 
 def _make_window_kernel(precision):
@@ -695,7 +755,7 @@ def prepare_windowed(
     sel: dict | None = None,
     g_step: int = G,
     step_order: str = "row",
-    fused: bool = True,
+    fused: bool | str = True,
 ) -> WindowedPlan:
     """Build the hybrid plan; refuses (ValueError) when windows would cover
     less than ``min_coverage`` of nnz (pure ELL wins there — the coverage
@@ -738,18 +798,42 @@ def prepare_windowed(
         # the selection's host res_deg, so dense A, residue compaction,
         # and the ELL buckets compile into ONE executable — one dispatch,
         # one sync, zero transfers in the timed prepare.
-        from flex_tpu.ops.ell_spmm import DEFAULT_WIDTHS, host_bucket_sizes
+        from flex_tpu.ops.ell_spmm import (
+            DEFAULT_WIDTHS, ell_scatter_layout, host_bucket_sizes,
+        )
 
-        by_w, n_rows_last, padded = host_bucket_sizes(
-            np.asarray(res_deg, dtype=np.int64), DEFAULT_WIDTHS)
-        ell_meta = (DEFAULT_WIDTHS[-1], DEFAULT_WIDTHS,
-                    tuple((w, nc, nc) for w, nc in by_w.items()),
-                    n_rows_last)
-        A, buckets, chunk_row = _build_windowed_ell(
-            dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
-            layout=layout, ell_meta=ell_meta)
-        ell = EllPlan(m=g.m, buckets=buckets, chunk_row=chunk_row,
-                      padded_nnz=padded, nnz=n_res, b_dtype=b_dtype)
+        if fused == "scatter":
+            # stage-2 variant: residue scattered directly into the padded
+            # ELL layout (one packed [nnz, 2] scatter); layout tables are
+            # selection-derived, cached like the other device tables
+            if "ell_scatter_tables" not in sel:
+                bucket_meta, H, chunk_row_h, padded = ell_scatter_layout(
+                    res_deg, DEFAULT_WIDTHS)
+                sel["ell_scatter_tables"] = {
+                    "h": jnp.asarray(H),
+                    "chunk_row": jnp.asarray(chunk_row_h),
+                    "bucket_meta": bucket_meta, "padded": padded,
+                }
+            st = sel["ell_scatter_tables"]
+            A, buckets = _build_windowed_ell_scatter(
+                dev.row_ptr, dev.col, dev.vals, tabs["slot"],
+                tabs["pstep0"], st["h"], layout=layout,
+                bucket_meta=st["bucket_meta"], padded_total=st["padded"])
+            ell = EllPlan(m=g.m, buckets=buckets,
+                          chunk_row=st["chunk_row"],
+                          padded_nnz=st["padded"], nnz=n_res,
+                          b_dtype=b_dtype)
+        else:
+            by_w, n_rows_last, padded = host_bucket_sizes(
+                np.asarray(res_deg, dtype=np.int64), DEFAULT_WIDTHS)
+            ell_meta = (DEFAULT_WIDTHS[-1], DEFAULT_WIDTHS,
+                        tuple((w, nc, nc) for w, nc in by_w.items()),
+                        n_rows_last)
+            A, buckets, chunk_row = _build_windowed_ell(
+                dev.row_ptr, dev.col, dev.vals, tabs["slot"],
+                tabs["pstep0"], layout=layout, ell_meta=ell_meta)
+            ell = EllPlan(m=g.m, buckets=buckets, chunk_row=chunk_row,
+                          padded_nnz=padded, nnz=n_res, b_dtype=b_dtype)
     else:
         A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
             dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],

@@ -264,18 +264,19 @@ def _assert_plans_identical(p1, p2):
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+@pytest.mark.parametrize("mode", [True, "scatter"])
 @pytest.mark.parametrize("kw", [
     dict(tm=256, W=128, J=4, min_count=32),          # normal hybrid
     dict(tm=256, W=128, J=4, min_count=1),           # near-full coverage
     dict(tm=128, W=128, J=256, min_count=8),         # variable steps
 ])
-def test_fused_build_matches_twopass(kw):
-    """The fused one-program build (dense A + residue ELL in one XLA
-    executable) must produce bit-identical plan contents to the
-    two-program path."""
+def test_fused_build_matches_twopass(kw, mode):
+    """The fused one-program builds (slice-assembled and
+    scatter-assembled residue) must produce bit-identical plan contents
+    to the two-program path."""
     g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
     g = reorder(g, "rbdeg", check=False)
-    p_fused = prepare_windowed(g, fused=True, **kw)
+    p_fused = prepare_windowed(g, fused=mode, **kw)
     p_two = prepare_windowed(g, fused=False, **kw)
     _assert_plans_identical(p_fused, p_two)
     B = make_features(g, 16)
@@ -303,13 +304,18 @@ def test_fused_build_duplicates_and_empty_residue():
     kw = dict(tm=256, W=128, J=8, min_count=1, min_coverage=0.0)
     _assert_plans_identical(prepare_windowed(g, fused=True, **kw),
                             prepare_windowed(g, fused=False, **kw))
+    _assert_plans_identical(prepare_windowed(g, fused="scatter", **kw),
+                            prepare_windowed(g, fused=False, **kw))
     B = make_features(g, 8)
     C = np.asarray(prepare_windowed(g, fused=True, **kw)(jnp.asarray(B)))
     chk = res_check(spmm_scipy(g, B), C, g.degrees)
     assert chk.ok, chk
 
-    # empty residue: full coverage
+    # empty residue: full coverage (both fused modes)
     g2 = community_graph(512, 60_000, n_comm=2, seed=1, shuffle=False)
+    ps = prepare_windowed(g2, tm=256, W=128, J=4, min_count=1,
+                          fused="scatter")
+    assert ps.ell.nnz == 0 and ps.ell.buckets == ()
     p = prepare_windowed(g2, tm=256, W=128, J=4, min_count=1, fused=True)
     assert p.ell.nnz == 0 and p.ell.buckets == ()
     B2 = make_features(g2, 8)
@@ -347,6 +353,7 @@ def test_fused_build_split_chunk_residue():
     assert p1.A.shape[0] >= 1  # the dense block survived the gate
     assert p1.ell.nnz > 2048   # the hub's scatter stays residue
     _assert_plans_identical(p1, p2)
+    _assert_plans_identical(prepare_windowed(g, fused="scatter", **kw), p2)
     B = make_features(g, 8)
     chk = res_check(spmm_scipy(g, B), np.asarray(p1(jnp.asarray(B))),
                     g.degrees)
