@@ -659,30 +659,44 @@ def _window_xla(win_step, A, B_pad, out_panel_np, *, n_panels, W, k,
 @jax.jit
 def _windowed_call(plan: "WindowedPlan", B):
     """Whole hybrid call under ONE jit (plan is a registered pytree passed
-    as an argument — never closed over, per docs/measurements.md)."""
-    k = B.shape[1]
+    as an argument — never closed over, per docs/measurements.md).
+
+    k < 128 is padded to the 128-lane layout ONCE here, for both halves:
+    sub-128-lane tensors are pathological on TPU (k=32 measured 21%
+    slower than k=128 through the dense Pallas path before this, and
+    3-19x slower through gather chains — docs/measurements.md).  The
+    barrier keeps XLA from distributing the pad over the downstream
+    gathers and recreating the narrow-lane chain (cf. ``_ell_spmm``)."""
+    k = kp = B.shape[1]
+    if k < 128:
+        kp = 128
+        B = jax.lax.optimization_barrier(jnp.concatenate(
+            [B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1))
     W = plan.W
     nblk = max(-(-plan.n // W), 1)
     n_panels = plan.n_used_panels
     if plan.A.shape[0]:
-        B_pad = jnp.zeros(((nblk + 1) * W, k), jnp.float32).at[
+        B_pad = jnp.zeros(((nblk + 1) * W, kp), jnp.float32).at[
             : plan.n].set(B)
         if plan.impl == "xla":
             out = _window_xla(plan.win_step, plan.A, B_pad, plan.out_panel,
-                              n_panels=n_panels, W=W, k=k,
+                              n_panels=n_panels, W=W, k=kp,
                               precision=plan.precision)
         else:
             out = _window_pallas(plan.first, plan.out_panel, plan.win_step,
-                                 plan.A, B_pad, n_panels=n_panels, W=W, k=k,
-                                 precision=plan.precision,
+                                 plan.A, B_pad, n_panels=n_panels, W=W,
+                                 k=kp, precision=plan.precision,
                                  interpret=plan.interpret)
-        cat = jnp.concatenate([out, jnp.zeros((1, k), jnp.float32)], axis=0)
+        cat = jnp.concatenate([out, jnp.zeros((1, kp), jnp.float32)], axis=0)
         dense = cat[plan.row_gather][: plan.m]
     else:
-        dense = jnp.zeros((plan.m, k), jnp.float32)
-    if plan.ell.nnz == 0:
-        return dense
-    return dense + plan.ell(B)
+        dense = jnp.zeros((plan.m, kp), jnp.float32)
+    full = dense if plan.ell.nnz == 0 else dense + plan.ell(B)
+    if kp != k:
+        # stop XLA sinking the slice back through the chain (it would
+        # narrow the lanes again and undo the padding)
+        full = jax.lax.optimization_barrier(full)[:, :k]
+    return full
 
 
 @dataclasses.dataclass
