@@ -166,14 +166,20 @@ class BandPlan:
     precision: Any = jax.lax.Precision.HIGHEST
 
     def __call__(self, B) -> jax.Array:
+        from flex_tpu.ops.lanes import pad_k_lanes, unpad_k_lanes
+
+        k = B.shape[1]
+        B = pad_k_lanes(B)  # k<128 is MXU/DMA-step-bound like k=128
         if self.impl == "xla":
-            return _band_spmm_xla(
+            out = _band_spmm_xla(
                 self.band, self.ws, B, m=self.m, n=self.n,
                 w_pad=self.w_pad, precision=self.precision,
             )
-        if self.impl == "pallas2":
-            return self._call_pallas2(B)
-        return self._call_pallas_v1(B)
+        elif self.impl == "pallas2":
+            out = self._call_pallas2(B)
+        else:
+            out = self._call_pallas_v1(B)
+        return unpad_k_lanes(out, k)
 
     def _call_pallas2(self, B) -> jax.Array:
         a_left, a_right = self.band

@@ -43,6 +43,10 @@ def _panel_spmm(data, B, *, m: int, n_hub_rows: int, precision):
       hub_cols i32[Nh, W], hub_vals f32[Nh, W], hub_chunk_row i32[Nh],
       buckets: tuple of (a_dense f32[P, tm, u], ucols i32[P, u], ids i32[P]).
     """
+    from flex_tpu.ops.lanes import pad_k_lanes, unpad_k_lanes
+
+    k_out = B.shape[1]
+    B = pad_k_lanes(B)  # k<128 runs at k=128 cost anyway (gather-bound)
     k = B.shape[1]
     # Cap how many B rows a single take materialises (HBM temp = rows·k·4B);
     # larger gathers are split into sequential sub-batches.
@@ -107,7 +111,7 @@ def _panel_spmm(data, B, *, m: int, n_hub_rows: int, precision):
         C_tail = jnp.concatenate(
             [C_tail, jnp.zeros((m - covered, k), jnp.float32)], axis=0
         )
-    return jnp.concatenate([C_hub, C_tail], axis=0)[:m]
+    return unpad_k_lanes(jnp.concatenate([C_hub, C_tail], axis=0)[:m], k_out)
 
 
 @dataclasses.dataclass
