@@ -192,6 +192,37 @@ def _probe(tag: str) -> dict:
             "gather_mrows": jval(grate), "ok": ok}
 
 
+def _chain_elap(plan, n, k, lo=3, hi=9) -> float:
+    """True serial-chain tElap: iteration i+1 consumes iteration i's
+    output (square graph: m == n), timed at two chain lengths with the
+    delta taken — immune to both the ~34 ms sync floor and the relay's
+    non-serialization of independent dispatches (docs/measurements.md).
+    Cross-checks the dispatch-averaged bench_spmm timing; values are
+    zeros (gather/matmul cost is structural, and zero stays denormal-
+    free through the x0.01 damping)."""
+    import functools
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from flex_tpu.bench.harness import _sync
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(plan, B0, *, steps):
+        return jax.lax.fori_loop(
+            0, steps, lambda i, y: plan(y) * 0.01, B0)
+
+    B0 = jnp.zeros((n, k), jnp.float32)
+    ts = {}
+    for steps in (lo, hi):
+        _sync(chain(plan, B0, steps=steps))  # compile + warm
+        t0 = _t.perf_counter()
+        _sync(chain(plan, B0, steps=steps))
+        ts[steps] = _t.perf_counter() - t0
+    return (ts[hi] - ts[lo]) / (hi - lo)
+
+
 def worker(out_path: str) -> None:
     t_start = time.time()
     import threading
@@ -247,7 +278,7 @@ def worker(out_path: str) -> None:
     log("uploading CSR...")
     t0 = time.time()
     dev = DeviceCSR.from_graph(g)
-    _sync(dev.vals)
+    _sync((dev.row_ptr, dev.col, dev.vals))  # retire ALL three uploads
     log(f"CSR upload: {time.time()-t0:.1f}s")
 
     sug = suggest(g, K, dev=dev)
@@ -296,9 +327,28 @@ def worker(out_path: str) -> None:
     plan2 = prepare(g, **dev_kw, **prep_kwargs)
     _sync(getattr(plan2, "__dict__", plan2))
     t_pre2 = time.time() - t0
-    del plan2
     r.t_pre = min(r.t_pre, t_pre2)
     r.pre_ratio = r.t_pre / r.t_elap
+
+    # Serial-chain cross-check of tElap (the reference harness likewise
+    # double-checks its timing, flex.cu:5737-5790): if the dispatch-
+    # averaged number is >30% faster than a true dependency chain, the
+    # relay overlapped/elided dispatches — report the chain number.
+    try:
+        ch = _chain_elap(plan2, g.n, K)
+        res["t_elap_chain_ms"] = round(ch * 1e3, 2)
+        log(f"serial-chain tElap: {ch*1e3:.1f}ms "
+            f"(dispatch-avg {r.t_elap*1e3:.1f}ms)")
+        if ch > 1.3 * r.t_elap:
+            res["annotations"].append(
+                f"chain-timing-used:{ch/r.t_elap:.2f}x-dispatch-avg")
+            r.t_elap = ch
+            r.gflops = 2 * g.nnz * K / ch / 1e9
+            r.pre_ratio = r.t_pre / ch
+    except Exception as e:
+        log(f"chain cross-check failed: {e!r}")
+        res["annotations"].append("chain-check-failed")
+    del plan2
 
     p1 = _probe("post")
     res["probes"].append(p1)

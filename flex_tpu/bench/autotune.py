@@ -152,11 +152,19 @@ def autotune(
     """Measured search: benchmark each candidate on device, return the
     list of BenchResults sorted fastest-first."""
     from flex_tpu.bench.harness import bench_spmm
+    from flex_tpu.sparse.device import DeviceCSR
 
+    # one CSR upload shared by every candidate (the loader's one-time
+    # job, reference cuda_alloc_cpy) — per-method re-uploads cost ~5 s
+    # each through the ~35 MB/s tunnel at reddit scale
+    dev = DeviceCSR.from_graph(g)
     results = []
     for method in methods:
+        kw = {"dev": dev} if method in ("ell", "band", "windowed",
+                                        "gespmm", "bcoo") else {}
         try:
-            results.append(bench_spmm(g, k, method=method, iters=iters, check=check))
+            results.append(bench_spmm(g, k, method=method, iters=iters,
+                                      check=check, **kw))
         except Exception as e:  # candidate failed (e.g. OOM); skip it
             import sys
 

@@ -88,9 +88,16 @@ def _sync(out) -> None:
 
 def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
     """cuSpmm-style timing: warmup launches then averaged timed launches
-    (reference flex.cu:5047-5067 does 5 warmup + 10 timed).  The device
-    executes launches in order, so timing N dispatches between two host
-    syncs measures N kernel executions plus one small D2H."""
+    (reference flex.cu:5047-5067 does 5 warmup + 10 timed).
+
+    Caveat (docs/measurements.md round-3): the relay does NOT guarantee
+    it serializes independent outputs — a bare repeated matmul measured
+    an impossible 213 TF/s this way.  On the real multi-dispatch SpMM
+    plans the averaged numbers cross-check against serial-chain
+    component costs and the static time model (ratio ~0.92), so this
+    stays the sweep workhorse; the headline capture additionally
+    verifies tElap with a true serial dependency chain
+    (bench.py:_chain_elap) and flags divergence."""
     out = fn(*args)  # always at least one un-timed dispatch (compile)
     for _ in range(max(warmup - 1, 0)):
         out = fn(*args)
@@ -133,7 +140,9 @@ def bench_spmm(
 
         t0 = time.perf_counter()
         dev = DeviceCSR.from_graph(g)
-        _sync(dev.vals)
+        # sync ALL three uploads — first-leaf-only sync left the equally
+        # nnz-sized col transfer in flight, leaking it into timed t_pre
+        _sync((dev.row_ptr, dev.col, dev.vals))
         extra["t_upload_s"] = round(time.perf_counter() - t0, 3)
         prep_kwargs["dev"] = dev
 

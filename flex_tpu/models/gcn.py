@@ -52,11 +52,9 @@ class GCN:
 
 def gcn_loss(model: GCN, params, plan, X, y, mask) -> jax.Array:
     """Masked softmax cross-entropy over labelled nodes."""
-    logits = model.apply(params, plan, X)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-    denom = jnp.maximum(mask.sum(), 1)
-    return (nll * mask).sum() / denom
+    from flex_tpu.models.common import masked_xent
+
+    return masked_xent(model.apply(params, plan, X), y, mask)
 
 
 def make_train_step(model: GCN, plan, optimizer) -> Callable:
@@ -65,17 +63,8 @@ def make_train_step(model: GCN, plan, optimizer) -> Callable:
     The plan is passed into jit as a pytree *argument* (plans register as
     pytrees), never closed over — closures would bake its device arrays
     into the executable as constants."""
+    from flex_tpu.models.common import make_step
 
-    @jax.jit
-    def _step(params, opt_state, plan, X, y, mask):
-        loss, grads = jax.value_and_grad(
-            lambda p: gcn_loss(model, p, plan, X, y, mask)
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    def step(params, opt_state, X, y, mask):
-        return _step(params, opt_state, plan, X, y, mask)
-
-    return step
+    return make_step(
+        lambda p, plan_, X, y, mask: gcn_loss(model, p, plan_, X, y, mask),
+        plan, optimizer)

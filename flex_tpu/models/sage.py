@@ -67,27 +67,16 @@ class GraphSAGE:
 
 def sage_loss(model: GraphSAGE, params, plan, X, y, mask) -> jax.Array:
     """Masked softmax cross-entropy over labelled nodes."""
-    logits = model.apply(params, plan, X)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-    denom = jnp.maximum(mask.sum(), 1)
-    return (nll * mask).sum() / denom
+    from flex_tpu.models.common import masked_xent
+
+    return masked_xent(model.apply(params, plan, X), y, mask)
 
 
 def make_sage_train_step(model: GraphSAGE, plan, optimizer) -> Callable:
     """Jitted (params, opt_state, X, y, mask) -> (params, opt_state, loss);
     the plan is a pytree argument, never closed over."""
+    from flex_tpu.models.common import make_step
 
-    @jax.jit
-    def _step(params, opt_state, plan, X, y, mask):
-        loss, grads = jax.value_and_grad(
-            lambda p: sage_loss(model, p, plan, X, y, mask)
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    def step(params, opt_state, X, y, mask):
-        return _step(params, opt_state, plan, X, y, mask)
-
-    return step
+    return make_step(
+        lambda p, plan_, X, y, mask: sage_loss(model, p, plan_, X, y, mask),
+        plan, optimizer)

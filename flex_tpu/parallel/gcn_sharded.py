@@ -45,7 +45,9 @@ def make_train_step_2d(
     dense GEMMs run tensor-parallel over ``model_axis`` while the SpMM runs
     row-parallel inside the plan's shard_map."""
 
-    y = mesh.shape[model_axis]
+    # NB: do not name this `y` — _step's label argument would shadow it
+    # if constrain were ever inlined there
+    axis_size = mesh.shape[model_axis]
 
     def constrain(params):
         return {
@@ -53,23 +55,15 @@ def make_train_step_2d(
                 jax.lax.with_sharding_constraint(
                     p, NamedSharding(mesh, P(None, model_axis))
                 )
-                if name.startswith("W") and p.shape[-1] % y == 0
+                if name.startswith("W") and p.shape[-1] % axis_size == 0
                 else p
             )
             for name, p in params.items()
         }
 
-    @jax.jit
-    def _step(params, opt_state, plan, X, y, mask):
-        def loss_fn(p):
-            return gcn_loss(model, constrain(p), plan, X, y, mask)
+    from flex_tpu.models.common import make_step
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    def step(params, opt_state, X, y, mask):
-        return _step(params, opt_state, plan, X, y, mask)
-
-    return step
+    return make_step(
+        lambda p, plan_, X, y, mask: gcn_loss(model, constrain(p), plan_,
+                                              X, y, mask),
+        plan, optimizer)

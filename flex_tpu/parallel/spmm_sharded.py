@@ -147,84 +147,116 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def mesh_shard_devices(mesh: Mesh, axis: str, D: int):
+    """(devices_of_shard, shard_of_device) maps for a dim-0 sharding over
+    ``axis`` (devices on other mesh axes replicate their shard)."""
+    sh = NamedSharding(mesh, P(axis, None, None, None))
+    probe_shape = (D, 1, 1, 1)
+    shard_of_device = {
+        dvc: (idx[0].start or 0)
+        for dvc, idx in sh.addressable_devices_indices_map(probe_shape).items()
+    }
+    devices_of_shard: dict[int, list] = {}
+    for dvc, s_idx in shard_of_device.items():
+        devices_of_shard.setdefault(s_idx, []).append(dvc)
+    return devices_of_shard, shard_of_device
+
+
+def stack_ell_plans(mesh, axis, m, bounds, plans, allocs, m_shard_pad,
+                    devices_of_shard, shard_of_device,
+                    widths: tuple[int, ...] = SHARDED_WIDTHS,
+                    b_layout: str = "replicated") -> ShardedEllPlan:
+    """Stack per-shard single-device :class:`EllPlan`s (common maxed
+    bucket shapes, each already resident on its shard's device) into one
+    :class:`ShardedEllPlan` — nothing moves through the host."""
+    D = len(bounds)
+    if not allocs:  # zero nnz everywhere
+        return ShardedEllPlan(
+            mesh=mesh, axis=axis, m=m, row_bounds=bounds,
+            m_shard_pad=m_shard_pad, buckets=(),
+            chunk_row=jnp.zeros((0,), jnp.int32), nnz=0, padded_nnz=0,
+            b_layout=b_layout)
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    total_nnz = sum(p.nnz for p in plans)
+    live_ws = [w for w in widths if allocs.get(int(w), 0) > 0]
+    buckets = []
+    for b_i, w in enumerate(live_ws):
+        per_dev_c, per_dev_v = {}, {}
+        for dvc, s_idx in shard_of_device.items():
+            c, v = plans[s_idx].buckets[b_i]
+            per_dev_c[dvc] = jax.device_put(c[None], dvc)
+            per_dev_v[dvc] = jax.device_put(v[None], dvc)
+        N = allocs[int(w)]
+        cs = jax.make_array_from_single_device_arrays(
+            (D, N, w), sh3, [per_dev_c[dvc] for dvc in shard_of_device])
+        vs = jax.make_array_from_single_device_arrays(
+            (D, N, w), sh3, [per_dev_v[dvc] for dvc in shard_of_device])
+        buckets.append((cs, vs))
+    n_chunks_pad = sum(allocs[int(w)] for w in live_ws)
+    per_dev_cr = {
+        dvc: jax.device_put(plans[s_idx].chunk_row[None], dvc)
+        for dvc, s_idx in shard_of_device.items()
+    }
+    chunk_row = jax.make_array_from_single_device_arrays(
+        (D, n_chunks_pad), sh2, [per_dev_cr[dvc] for dvc in shard_of_device])
+    return ShardedEllPlan(
+        mesh=mesh, axis=axis, m=m, row_bounds=bounds,
+        m_shard_pad=m_shard_pad, buckets=tuple(buckets),
+        chunk_row=chunk_row, nnz=total_nnz,
+        padded_nnz=sum(p.padded_nnz for p in plans), b_layout=b_layout,
+    )
+
+
 def prepare_ell_sharded(
     g: CSRGraph,
     mesh: Mesh,
     axis: str | None = None,
     widths: tuple[int, ...] = SHARDED_WIDTHS,
     b_layout: str = "replicated",
+    dev=None,
 ) -> ShardedEllPlan:
+    """Device-resident sharded ELL build: per-shard CSR slices are cut
+    from the resident :class:`DeviceCSR` (static row bounds) and moved to
+    each shard's own device, where :func:`prepare_ell_device` builds the
+    common-shape buckets — the host computes only O(m) metadata.  The
+    previous host-side fill violated two measured rules (np.repeat at
+    ~1.5M elem/s and nnz-sized uploads through the ~35 MB/s tunnel);
+    at amazon scale that was minutes of host passes plus ~1 min of
+    upload versus seconds on device."""
     if b_layout not in ("replicated", "gathered"):
         raise ValueError(f"unknown b_layout {b_layout!r}")
+    from flex_tpu.ops.ell_spmm import host_bucket_sizes, prepare_ell_device
+    from flex_tpu.sparse.device import DeviceCSR
+
     axis = axis or mesh.axis_names[0]
     D = mesh.shape[axis]
     bounds = _split_rows_by_nnz(g, D)
-    wmax = widths[-1]
-    w_arr = np.asarray(widths, dtype=np.int64)
+    if dev is None:
+        dev = DeviceCSR.from_graph(g)
+    row_ptr_h = np.asarray(g.row_ptr, dtype=np.int64)
 
-    # Pass 1: per-shard chunk metadata; common bucket sizes = max over shards.
-    metas = []
+    # common (maxed) bucket allocation so every shard shares one program
+    allocs: dict[int, int] = {}
     for r0, r1 in bounds:
-        deg = g.degrees[r0:r1].astype(np.int64)
-        wor = w_arr[np.minimum(np.searchsorted(w_arr, np.maximum(deg, 1)),
-                               len(w_arr) - 1)]
-        wor = np.where(deg > wmax, wmax, wor)
-        n_chunks = np.where(deg > 0, -(-deg // wor), 0)
-        metas.append((deg, wor, n_chunks))
-    n_by_w = {}
-    for deg, wor, n_chunks in metas:
-        for w in widths:
-            n_by_w[w] = max(n_by_w.get(w, 0), int(n_chunks[wor == w].sum()))
-    live_widths = [w for w in widths if n_by_w[w] > 0]
+        by_w, _, _ = host_bucket_sizes(
+            np.asarray(g.degrees[r0:r1], dtype=np.int64), widths)
+        for w, nc in by_w.items():
+            allocs[w] = max(allocs.get(w, 0), nc)
 
-    # Pass 2: fill per-shard buckets on host (common shapes).
-    buckets_np = {
-        w: (np.zeros((D, n_by_w[w], w), np.int32),
-            np.zeros((D, n_by_w[w], w), np.float32))
-        for w in live_widths
-    }
-    n_chunks_pad = sum(n_by_w[w] for w in live_widths)
-    chunk_row = np.zeros((D, n_chunks_pad), np.int32)
-    padded = 0
-    for d, ((r0, r1), (deg, wor, n_chunks)) in enumerate(zip(bounds, metas)):
-        cpos = 0
-        for w in live_widths:
-            sel = np.where((wor == w) & (n_chunks > 0))[0]
-            cols_b, vals_b = buckets_np[w]
-            if len(sel):
-                ch = n_chunks[sel]
-                rows_rep = np.repeat(sel, ch)
-                cum0 = np.concatenate([[0], np.cumsum(ch)[:-1]])
-                local = (
-                    np.arange(int(ch.sum()), dtype=np.int64)
-                    - np.repeat(cum0, ch)
-                )
-                starts = g.row_ptr[r0 + rows_rep] + local * w
-                lengths = np.minimum(deg[rows_rep] - local * w, w)
-                # vectorised ragged copy: chunk i slots [0, len_i) <- CSR run
-                tot = int(lengths.sum())
-                chunk_ids = np.repeat(np.arange(len(rows_rep)), lengths)
-                within = np.arange(tot, dtype=np.int64) - np.repeat(
-                    np.cumsum(lengths) - lengths, lengths
-                )
-                src = np.repeat(starts, lengths) + within
-                dst = chunk_ids * w + within
-                cols_b[d].reshape(-1)[dst] = g.col[src]
-                vals_b[d].reshape(-1)[dst] = g.vals[src]
-                chunk_row[d, cpos : cpos + len(rows_rep)] = rows_rep
-            cpos += n_by_w[w]
-        padded += sum(n_by_w[w] * w for w in live_widths)
-
-    sh2 = NamedSharding(mesh, P(axis, None))
-    sh3 = NamedSharding(mesh, P(axis, None, None))
-    buckets = tuple(
-        (jax.device_put(c, sh3), jax.device_put(v, sh3))
-        for c, v in (buckets_np[w] for w in live_widths)
-    )
-    return ShardedEllPlan(
-        mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
-        m_shard_pad=max(r1 - r0 for r0, r1 in bounds),
-        buckets=buckets,
-        chunk_row=jax.device_put(chunk_row, sh2),
-        nnz=g.nnz, padded_nnz=padded, b_layout=b_layout,
-    )
+    devices_of_shard, shard_of_device = mesh_shard_devices(mesh, axis, D)
+    plans = []
+    for d_idx, (r0, r1) in enumerate(bounds):
+        home = devices_of_shard[d_idx][0]
+        s0, s1 = int(row_ptr_h[r0]), int(row_ptr_h[r1])
+        rp_s = jax.device_put(dev.row_ptr[r0:r1 + 1] - dev.row_ptr[r0], home)
+        col_s = jax.device_put(dev.col[s0:s1], home)
+        vals_s = jax.device_put(dev.vals[s0:s1], home)
+        plans.append(prepare_ell_device(
+            rp_s, col_s, vals_s, m=r1 - r0, nnz=s1 - s0,
+            res_row_ptr_host=row_ptr_h[r0:r1 + 1] - row_ptr_h[r0],
+            widths=widths, bucket_alloc=allocs if allocs else None))
+    return stack_ell_plans(
+        mesh, axis, g.m, bounds, plans, allocs,
+        max(r1 - r0 for r0, r1 in bounds), devices_of_shard,
+        shard_of_device, widths=widths, b_layout=b_layout)

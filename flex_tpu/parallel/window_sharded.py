@@ -47,7 +47,7 @@ from flex_tpu.ops.window_spmm import (
     _window_xla, pattern_is_unique, window_select,
 )
 from flex_tpu.parallel.spmm_sharded import (
-    ShardedEllPlan, _split_rows_by_nnz,
+    ShardedEllPlan, _split_rows_by_nnz, mesh_shard_devices, stack_ell_plans,
 )
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
@@ -81,6 +81,13 @@ class ShardedWindowedPlan:
     fn: Any = None
 
     def __call__(self, B) -> jax.Array:
+        from flex_tpu.ops.lanes import pad_k_lanes, unpad_k_lanes
+
+        k_out = B.shape[1]
+        # pad k<128 to the 128-lane layout once for both halves, like the
+        # single-chip _windowed_call (sub-128-lane dense/gather chains are
+        # pathological — docs/measurements.md)
+        B = pad_k_lanes(B)
         if self.fn is None:
             ax = self.axis
             W, n, n_pan = self.W, self.n, self.n_panels_pad
@@ -127,9 +134,8 @@ class ShardedWindowedPlan:
             self.fn = fn
         dense = self.fn(self.A, self.first, self.out_panel, self.win_step,
                         self.row_gather, B)
-        if self.ell.nnz == 0:
-            return dense
-        return dense + self.ell(B)
+        out = dense if self.ell.nnz == 0 else dense + self.ell(B)
+        return unpad_k_lanes(out, k_out)
 
     @property
     def stats(self) -> dict:
@@ -216,14 +222,7 @@ def prepare_windowed_sharded(
 
     # --- per-shard: device CSR slice -> own device -> select + build ------
     sels, shard_devs, shard_meta = [], [], []
-    probe_shape = (D, 1, 1, 1)
-    shard_of_device = {
-        dvc: (idx[0].start or 0)
-        for dvc, idx in sh.addressable_devices_indices_map(probe_shape).items()
-    }
-    devices_of_shard: dict[int, list] = {}
-    for dvc, s_idx in shard_of_device.items():
-        devices_of_shard.setdefault(s_idx, []).append(dvc)
+    devices_of_shard, shard_of_device = mesh_shard_devices(mesh, axis, D)
 
     full_unique = pattern_is_unique(g)
     for d_idx, (r0, r1) in enumerate(bounds):
@@ -331,7 +330,12 @@ def prepare_windowed_sharded(
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
         for dvc in devices_of_shard[d_idx]:
             moved = jax.device_put(A_pad, dvc)
-            moved.block_until_ready()
+            # backpressure so transient multi-GB A_pad copies don't pile
+            # up on the build device; block_until_ready is a no-op under
+            # the axon relay (CLAUDE.md) — sync via a tiny D2H instead
+            from flex_tpu.bench.harness import _sync
+
+            _sync(moved)
             A_per_device[dvc] = moved
         del A, A_pad
         if not use_fused:
@@ -362,9 +366,9 @@ def prepare_windowed_sharded(
 
     # --- residue: per-shard device ELL under the SAME row bounds ---------
     if use_fused:
-        ell = _stack_residue_plans(
-            mesh, axis, g, bounds, res_plans, allocs, m_shard_pad,
-            devices_of_shard, shard_of_device)
+        ell = stack_ell_plans(
+            mesh, axis, g.m, bounds, res_plans, allocs, m_shard_pad,
+            devices_of_shard, shard_of_device, widths=SHARDED_WIDTHS)
     else:
         # common (maxed) bucket allocation so every shard shares one
         # program — only computable after the builds here (the residue
@@ -407,51 +411,6 @@ def _assemble_sharded_residue(mesh, axis, g, bounds, shard_residues,
             res_rp, res_col, res_vals, m=bounds[d_idx][1] - bounds[d_idx][0],
             nnz=int(rp_host[-1]), res_row_ptr_host=rp_host,
             widths=SHARDED_WIDTHS, bucket_alloc=allocs))
-    return _stack_residue_plans(mesh, axis, g, bounds, plans, allocs,
-                                m_shard_pad, devices_of_shard,
-                                shard_of_device)
-
-
-def _stack_residue_plans(mesh, axis, g, bounds, plans, allocs, m_shard_pad,
-                         devices_of_shard, shard_of_device) -> ShardedEllPlan:
-    """Stack per-shard :class:`EllPlan`s (common maxed bucket shapes,
-    already resident on their shards' devices) into one
-    :class:`ShardedEllPlan` — nothing moves through the host."""
-    from flex_tpu.parallel.spmm_sharded import SHARDED_WIDTHS
-
-    D = len(bounds)
-    if not allocs:  # zero residue everywhere
-        return ShardedEllPlan(
-            mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
-            m_shard_pad=m_shard_pad, buckets=(),
-            chunk_row=jnp.zeros((0,), jnp.int32), nnz=0, padded_nnz=0)
-    sh2 = NamedSharding(mesh, P(axis, None))
-    sh3 = NamedSharding(mesh, P(axis, None, None))
-    total_res = sum(p.nnz for p in plans)
-    live_ws = [w for w in SHARDED_WIDTHS if allocs.get(int(w), 0) > 0]
-    buckets = []
-    for b_i, w in enumerate(live_ws):
-        per_dev_c, per_dev_v = {}, {}
-        for dvc, s_idx in shard_of_device.items():
-            c, v = plans[s_idx].buckets[b_i]
-            per_dev_c[dvc] = jax.device_put(c[None], dvc)
-            per_dev_v[dvc] = jax.device_put(v[None], dvc)
-        N = allocs[int(w)]
-        cs = jax.make_array_from_single_device_arrays(
-            (D, N, w), sh3, [per_dev_c[dvc] for dvc in shard_of_device])
-        vs = jax.make_array_from_single_device_arrays(
-            (D, N, w), sh3, [per_dev_v[dvc] for dvc in shard_of_device])
-        buckets.append((cs, vs))
-    n_chunks_pad = sum(allocs[int(w)] for w in live_ws)
-    per_dev_cr = {
-        dvc: jax.device_put(plans[s_idx].chunk_row[None], dvc)
-        for dvc, s_idx in shard_of_device.items()
-    }
-    chunk_row = jax.make_array_from_single_device_arrays(
-        (D, n_chunks_pad), sh2, [per_dev_cr[dvc] for dvc in shard_of_device])
-    return ShardedEllPlan(
-        mesh=mesh, axis=axis, m=g.m, row_bounds=bounds,
-        m_shard_pad=m_shard_pad, buckets=tuple(buckets),
-        chunk_row=chunk_row, nnz=total_res,
-        padded_nnz=sum(p.padded_nnz for p in plans),
-    )
+    return stack_ell_plans(mesh, axis, g.m, bounds, plans, allocs,
+                           m_shard_pad, devices_of_shard, shard_of_device,
+                           widths=SHARDED_WIDTHS)

@@ -126,8 +126,11 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
-        yield
-        self.stages[name] = self.stages.get(name, 0.0) + time.perf_counter() - t0
+        try:
+            yield
+        finally:  # a raising stage still records its elapsed time
+            self.stages[name] = (self.stages.get(name, 0.0)
+                                 + time.perf_counter() - t0)
 
     @staticmethod
     def sync(out):
@@ -137,7 +140,7 @@ class StageTimer:
         return out
 
     def report(self) -> str:
-        total = sum(self.stages.values())
+        total = sum(self.stages.values()) or 1e-12
         lines = [f"{k:>20s}: {v*1e3:10.2f} ms ({v/total:6.1%})"
                  for k, v in self.stages.items()]
         lines.append(f"{'total':>20s}: {total*1e3:10.2f} ms")
