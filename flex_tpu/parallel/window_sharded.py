@@ -122,19 +122,23 @@ class ShardedWindowedPlan:
                 check_vma=False,
             )
             bounds = self.row_bounds
+            has_res = self.ell.nnz > 0
 
             @jax.jit
-            def fn(A, first, out_panel, win_step, row_gather, B):
+            def fn(A, first, out_panel, win_step, row_gather, ell, B):
                 out = mapped(A, first, out_panel, win_step, row_gather, B)
-                return jnp.concatenate(
+                dense = jnp.concatenate(
                     [out[d, : r1 - r0] for d, (r0, r1) in enumerate(bounds)],
                     axis=0,
                 )
+                # residue under the SAME jit (the single-chip hybrid runs
+                # one program too): one dispatch, and XLA can overlap the
+                # independent dense and gather chains
+                return dense + ell(B) if has_res else dense
 
             self.fn = fn
-        dense = self.fn(self.A, self.first, self.out_panel, self.win_step,
-                        self.row_gather, B)
-        out = dense if self.ell.nnz == 0 else dense + self.ell(B)
+        out = self.fn(self.A, self.first, self.out_panel, self.win_step,
+                      self.row_gather, self.ell, B)
         return unpad_k_lanes(out, k_out)
 
     @property
