@@ -88,7 +88,8 @@ def main():
     # full warm prepare + timed call, both build modes (fused = default:
     # one XLA program for dense A + residue compaction + ELL buckets)
     plan = None
-    for fused in (False, "scatter", "scatter", True, True):
+    for fused in (False, "scatter", "scatter", "scatter2", "scatter2",
+                  True, True):
         if plan is not None:
             del plan
         t0 = time.time()
@@ -96,7 +97,8 @@ def main():
         _sync(plan.__dict__)
         t_pre = time.time() - t0
         name = {False: "two-program", True: "fused-slices",
-                "scatter": "fused-scatter"}[fused]
+                "scatter": "fused-scatter",
+                "scatter2": "fused-scatter2"}[fused]
         print(f"warm tPre ({name}) = {t_pre:.2f}s", flush=True)
     t_elap = _time_device(plan, B, iters=20)
     gf = 2 * g.nnz * k / t_elap / 1e9

@@ -546,6 +546,59 @@ def _build_windowed_ell_scatter(dev_row_ptr, dev_col, dev_vals, slot_tab,
     return A, tuple(buckets)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "bucket_meta", "padded_total"))
+def _build_windowed_ell_scatter2(dev_row_ptr, dev_col, dev_vals, slot_tab,
+                                 pstep0, h_tab, *, layout, bucket_meta,
+                                 padded_total):
+    """Combined-value variant of the scatter-assembled build: ONE no-drop
+    scatter places every value — hits into the dense A prefix, misses
+    into the residue suffix — of a [a_elems + padded_total] buffer, plus
+    one dropped col scatter for the residue columns.  Two nnz scatters
+    total for the whole format (vs three if the packed 2-wide scatter of
+    :func:`_build_windowed_ell_scatter` runs at 2x the element rate).
+    Cost: slicing A back out of the combined buffer copies the multi-GB
+    prefix once (~11 ms at 6 GB) and transiently doubles its HBM —
+    prepare_windowed guards a_elems + padded_total < 2^31.
+    """
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
+    a_elems = total_steps * TM * g_step * W
+    rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
+    p = rows // TM
+    blk = dev_col // W
+    j1 = slot_tab[p * nblk + blk].astype(jnp.int32)
+    hit = j1 > 0
+    j = j1 - 1
+    flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+            + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
+    miss_cum = jnp.cumsum((~hit).astype(jnp.int32))
+    dH = jnp.concatenate([h_tab[:1], jnp.diff(h_tab)])
+    delta = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[:-1]].add(
+        dH, mode="drop")
+    ell_dest = jnp.cumsum(delta) + miss_cum - 1
+    dest = jnp.where(hit, flat, a_elems + ell_dest)
+    scat = jnp.zeros((a_elems + padded_total,), jnp.float32).at[dest]
+    # duplicates only collide inside the dense prefix (each residue entry
+    # owns a distinct slot), so the unique_rc set-unlock carries over
+    combined = scat.set(dev_vals, mode="promise_in_bounds") if unique_rc \
+        else scat.add(dev_vals, mode="promise_in_bounds")
+    A = combined[:a_elems].reshape(total_steps, TM, g_step * W)
+    val_flat = combined[a_elems:]
+    col_flat = jnp.zeros((padded_total,), jnp.int32).at[
+        jnp.where(hit, padded_total, ell_dest)].set(dev_col, mode="drop")
+    buckets = []
+    off = 0
+    for w, n_alloc, _ in bucket_meta:
+        buckets.append((
+            jax.lax.slice(col_flat, (off,),
+                          (off + n_alloc * w,)).reshape(n_alloc, w),
+            jax.lax.slice(val_flat, (off,),
+                          (off + n_alloc * w,)).reshape(n_alloc, w),
+        ))
+        off += n_alloc * w
+    return A, tuple(buckets)
+
+
 def _make_window_kernel(precision):
     def kernel(first_ref, panel_ref, win_ref, a_ref, *refs):
         b_refs, o_ref = refs[:-1], refs[-1]
@@ -816,9 +869,10 @@ def prepare_windowed(
             DEFAULT_WIDTHS, ell_scatter_layout, host_bucket_sizes,
         )
 
-        if fused == "scatter":
-            # stage-2 variant: residue scattered directly into the padded
-            # ELL layout (one packed [nnz, 2] scatter); layout tables are
+        if fused in ("scatter", "scatter2"):
+            # stage-2 variants: residue scattered directly into the padded
+            # ELL layout (one packed [nnz, 2] scatter, or a combined-value
+            # no-drop scatter + col scatter); layout tables are
             # selection-derived, cached like the other device tables
             if "ell_scatter_tables" not in sel:
                 bucket_meta, H, chunk_row_h, padded = ell_scatter_layout(
@@ -829,7 +883,14 @@ def prepare_windowed(
                     "bucket_meta": bucket_meta, "padded": padded,
                 }
             st = sel["ell_scatter_tables"]
-            A, buckets = _build_windowed_ell_scatter(
+            if fused == "scatter2":
+                if sel["a_elems"] + st["padded"] >= 2**31:
+                    raise ValueError(
+                        "scatter2 combined buffer exceeds int32 indexing")
+                builder = _build_windowed_ell_scatter2
+            else:
+                builder = _build_windowed_ell_scatter
+            A, buckets = builder(
                 dev.row_ptr, dev.col, dev.vals, tabs["slot"],
                 tabs["pstep0"], st["h"], layout=layout,
                 bucket_meta=st["bucket_meta"], padded_total=st["padded"])

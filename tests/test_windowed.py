@@ -264,7 +264,7 @@ def _assert_plans_identical(p1, p2):
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
-@pytest.mark.parametrize("mode", [True, "scatter"])
+@pytest.mark.parametrize("mode", [True, "scatter", "scatter2"])
 @pytest.mark.parametrize("kw", [
     dict(tm=256, W=128, J=4, min_count=32),          # normal hybrid
     dict(tm=256, W=128, J=4, min_count=1),           # near-full coverage
@@ -305,6 +305,8 @@ def test_fused_build_duplicates_and_empty_residue():
     _assert_plans_identical(prepare_windowed(g, fused=True, **kw),
                             prepare_windowed(g, fused=False, **kw))
     _assert_plans_identical(prepare_windowed(g, fused="scatter", **kw),
+                            prepare_windowed(g, fused=False, **kw))
+    _assert_plans_identical(prepare_windowed(g, fused="scatter2", **kw),
                             prepare_windowed(g, fused=False, **kw))
     B = make_features(g, 8)
     C = np.asarray(prepare_windowed(g, fused=True, **kw)(jnp.asarray(B)))
@@ -354,6 +356,7 @@ def test_fused_build_split_chunk_residue():
     assert p1.ell.nnz > 2048   # the hub's scatter stays residue
     _assert_plans_identical(p1, p2)
     _assert_plans_identical(prepare_windowed(g, fused="scatter", **kw), p2)
+    _assert_plans_identical(prepare_windowed(g, fused="scatter2", **kw), p2)
     B = make_features(g, 8)
     chk = res_check(spmm_scipy(g, B), np.asarray(p1(jnp.asarray(B))),
                     g.degrees)
