@@ -32,6 +32,10 @@ CONFIGS = [
     (256, 128, 48, 4, "row", 9 << 30),
     (128, 128, 32, 4, "row", 6 << 30),
     (128, 128, 24, 4, "row", 8 << 30),
+    # round 3 of the sweep: taller panels — same mc over 2x rows keeps
+    # more windows per byte; per-step (512,512)x(512,128) MXU dot
+    (512, 128, 64, 4, "row", 6 << 30),
+    (512, 128, 96, 4, "row", 6 << 30),
 ]
 
 
