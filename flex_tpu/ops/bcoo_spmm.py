@@ -74,8 +74,16 @@ def prepare_bcoo(g: CSRGraph, dev: DeviceCSR | None = None,
     if dev is None:
         dev = DeviceCSR.from_graph(g)
     indices = _build_indices(dev.row_ptr, dev.col, nnz=g.nnz, m=g.m)
+    # Only promise sorted/unique indices when the host pattern pass can
+    # PROVE it (duplicate-free with columns sorted within rows) — with a
+    # false promise the results are undefined, and the TPU scatter
+    # lowering can drop duplicate contributions while the CPU one
+    # happens to sum them (the 'CPU tests do not see it' class).
+    from flex_tpu.ops.window_spmm import pattern_is_unique
+
+    proven = pattern_is_unique(g)
     mat = jsparse.BCOO((dev.vals, indices), shape=(g.m, g.n),
-                       indices_sorted=True, unique_indices=True)
+                       indices_sorted=proven, unique_indices=proven)
     return BcooPlan(m=g.m, n=g.n, nnz=g.nnz, mat=mat)
 
 

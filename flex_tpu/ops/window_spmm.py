@@ -94,22 +94,23 @@ def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
         and getattr(g, "degrees", None) is not None)
     if dev is not None and (not have_host
                             or P * nblk * 4 <= _HIST_D2H_MAX_BYTES):
-        import jax
-        import jax.numpy as jnp
-
-        @functools.partial(jax.jit, static_argnames=("shape",))
-        def hist(row_ptr, col, *, shape):
-            nnz, m_, tm_, W_, nblk_ = shape
-            rows = rows_from_row_ptr(row_ptr, nnz, m_)
-            key = (rows // tm_) * nblk_ + col // W_
-            return jnp.zeros((P * nblk_,), jnp.int32).at[key].add(1)
-
-        return np.asarray(hist(dev.row_ptr, dev.col,
-                               shape=(g.nnz, g.m, tm, W, nblk))
+        return np.asarray(_device_hist(dev.row_ptr, dev.col,
+                                       shape=(g.nnz, g.m, tm, W, P, nblk))
                           ).astype(np.int64).reshape(P, nblk)
     if key_h is None:
         key_h, _ = _host_panel_key(g, tm, W, P, nblk)
     return np.bincount(key_h, minlength=P * nblk).reshape(P, nblk)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _device_hist(row_ptr, col, *, shape):
+    """Panel x block nnz histogram on device (module-scope jit so repeat
+    selections across configs hit the compile cache — a def-inside-call
+    jit keyed on a fresh function object re-traced every time)."""
+    nnz, m_, tm_, W_, P_, nblk_ = shape
+    rows = rows_from_row_ptr(row_ptr, nnz, m_)
+    key = (rows // tm_) * nblk_ + col // W_
+    return jnp.zeros((P_ * nblk_,), jnp.int32).at[key].add(1)
 
 
 def _host_row_ptr(g) -> np.ndarray:
@@ -244,9 +245,11 @@ def window_select(
             keys[has, j] = bw0[seg_start[has] + j]
         order = np.lexsort(tuple(keys[:, j] for j in range(g_step - 1, -1, -1)))
         used = used[order]
+    from flex_tpu.sparse.csr import repeat_arange
+
     S_per = -(-nb_per[used] // g_step)
     total_steps = int(S_per.sum())
-    step_of = np.repeat(np.arange(len(used), dtype=np.int64), S_per)
+    step_of = repeat_arange(S_per, total=total_steps)
     first = np.zeros(total_steps, dtype=np.int32)
     step_starts = np.concatenate([[0], np.cumsum(S_per)[:-1]]) \
         if total_steps else np.zeros(0, dtype=np.int64)
@@ -263,12 +266,14 @@ def window_select(
     win_step = np.full(total_steps * g_step, nblk, dtype=np.int32)
     slot = np.zeros(P * nblk, dtype=np.int16)  # slot values ≤ J+1 ≤ 2^15
     if len(used):
+        from flex_tpu.sparse.csr import repeat_values
+
         pw, bw = np.nonzero(valid)
         # within-panel window index for each pair
         panel_first = np.r_[True, np.diff(pw) != 0]
-        jj = np.arange(len(pw), dtype=np.int64) - np.repeat(
+        jj = np.arange(len(pw), dtype=np.int64) - repeat_values(
             np.arange(len(pw), dtype=np.int64)[panel_first],
-            nb_per[pw[panel_first]])
+            nb_per[pw[panel_first]], total=len(pw))
         dense_of_panel = np.full(P, -1, dtype=np.int64)
         dense_of_panel[used] = np.arange(len(used))
         flat_slot = step_starts[dense_of_panel[pw]] * g_step + jj

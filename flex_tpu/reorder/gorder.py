@@ -24,14 +24,23 @@ from flex_tpu.sparse.csr import repeat_arange
 
 
 def _relabel_csr(row_ptr, col, old_to_new, n):
-    """Rebuild CSR under a relabeling, neighbor lists sorted ascending."""
+    """Rebuild CSR under a relabeling: neighbor lists sorted ascending and
+    DEDUPED — gorder's locality counts are unit-weighted, and deduping
+    here makes the C++ native's sorted-list merges and the Python
+    fallback's set() semantics see the identical simple graph (they
+    diverged on multigraphs otherwise)."""
     deg = np.diff(row_ptr)
     new_rows = old_to_new[repeat_arange(deg)]
     new_cols = old_to_new[col]
     order = np.lexsort((new_cols, new_rows))
     new_rows, new_cols = new_rows[order], new_cols[order]
+    if len(new_rows):
+        keep = np.r_[True, (np.diff(new_rows) != 0)
+                     | (np.diff(new_cols) != 0)]
+        new_rows, new_cols = new_rows[keep], new_cols[keep]
     rp = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(rp, new_rows + 1, 1)
+    # bincount over np.add.at per the host-pass rules
+    rp[1:] = np.bincount(new_rows, minlength=n)
     np.cumsum(rp, out=rp)
     return rp, new_cols
 

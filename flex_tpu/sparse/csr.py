@@ -157,7 +157,9 @@ class CSRGraph:
         order_idx = np.lexsort((np.asarray(cols), rows))
         rows, cols, vals = rows[order_idx], np.asarray(cols)[order_idx], np.asarray(vals)[order_idx]
         row_ptr = np.zeros(m + 1, dtype=np.int64)
-        np.add.at(row_ptr, rows + 1, 1)
+        # bincount runs at bandwidth; np.add.at is an unbuffered
+        # per-element scatter (host-pass rules, docs/measurements.md)
+        row_ptr[1:] = np.bincount(rows, minlength=m)
         np.cumsum(row_ptr, out=row_ptr)
         return CSRGraph.from_arrays(row_ptr, cols, vals, name=name, order=order)
 

@@ -125,7 +125,9 @@ def build_panels(
     """
     m, n, nnz = g.m, g.n, g.nnz
     n_panels = max(-(-m // tm), 1)
-    rows = np.repeat(np.arange(m, dtype=np.int64), g.degrees)
+    from flex_tpu.sparse.csr import repeat_arange
+
+    rows = repeat_arange(g.degrees, total=nnz)
     cols = g.col.astype(np.int64)
     panel = rows // tm
 

@@ -42,3 +42,24 @@ def test_rabbit_native_matches_python(a_mat, small_rmat):
         got_n = order_rabbit(g, use_native=True)
         got_p = order_rabbit(g, use_native=False)
         np.testing.assert_array_equal(got_n, got_p)
+
+
+def test_gorder_native_matches_python_multigraph():
+    """Duplicate (row, col) edges: the relabeled adjacency is deduped so
+    the native sorted-list merges and the Python set() semantics see the
+    identical simple graph (they diverged on multigraphs before)."""
+    import numpy as np
+
+    from flex_tpu.sparse.csr import CSRGraph
+
+    rng = np.random.default_rng(11)
+    m = 120
+    rows = rng.integers(0, m, 1200)
+    cols = rng.integers(0, m, 1200)
+    rows = np.concatenate([rows, rows[:400]])  # forced duplicates
+    cols = np.concatenate([cols, cols[:400]])
+    vals = np.ones(len(rows), np.float32)
+    g = CSRGraph.from_coo(rows, cols, vals, m, name="multi")
+    got_n = order_gorder(g, use_native=True)
+    got_p = order_gorder(g, use_native=False)
+    np.testing.assert_array_equal(got_n, got_p)
