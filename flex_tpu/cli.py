@@ -62,7 +62,13 @@ def main(argv=None) -> int:
             check=cfg.check, iters=cfg.iters,
         )
         bad = [r for r in results if r.check is not None and not r.check.ok]
-        return 1 if bad else 0
+        # crashes are failures too; format-ineligibility refusals
+        # (ValueError/NotImplementedError) are expected sweep rows
+        crashed = [r for r in results
+                   if r.check is None and "error" in r.extra
+                   and not r.extra["error"].startswith(
+                       ("ValueError", "NotImplementedError"))]
+        return 1 if bad or crashed else 0
 
     if cfg.order != "ovo":
         import os
@@ -90,14 +96,32 @@ def main(argv=None) -> int:
 
     method = cfg.method
     if method == "auto":
-        sug = suggest(g, cfg.k, tm=cfg.tm, hub_threshold=cfg.hub_threshold)
+        # explicit user flags flow INTO the autotuner's model (it would
+        # otherwise score its own defaults and silently override them)
+        sug_kw = {}
+        if "tm" in cfg.explicit:
+            sug_kw["win_tm"] = max(cfg.tm, 256)
+        if "W" in cfg.explicit:
+            sug_kw["win_W"] = cfg.W
+        if "min_count" in cfg.explicit:
+            sug_kw["win_min_count"] = cfg.min_count
+        sug = suggest(g, cfg.k, tm=cfg.tm, hub_threshold=cfg.hub_threshold,
+                      **sug_kw)
         method = sug.method
-        # the autotuner's validated parameters take precedence over defaults
+        # the autotuner's validated parameters take precedence over
+        # DEFAULTS, but never over flags the user set explicitly
         prep_kwargs = {**cfg.prep_kwargs(method), **sug.prep_kwargs}
-        # the timed prepare must redo all host selection work, or windowed
-        # tPre would exclude its O(nnz) pass while other methods include
-        # theirs (same convention as bench.py)
-        prep_kwargs.pop("sel", None)
+        user = {k: v for k, v in cfg.prep_kwargs(method).items()
+                if k in cfg.explicit}
+        prep_kwargs.update(user)
+        if "J" in cfg.explicit:
+            # suggest() has no J knob; its cached selection was built at
+            # the default cap, so let prepare re-select with the user's
+            prep_kwargs.pop("sel", None)
+        # tPre convention matches bench.py's headline: the autotuner's
+        # selection tables are a shared pass, reused by the timed prepare
+        # (the previous pop("sel") re-timed the O(nnz) selection here
+        # while the headline excluded it — contradictory conventions)
         print(f"auto-selected method: {method} ({sug.reason})")
     else:
         prep_kwargs = cfg.prep_kwargs(method)

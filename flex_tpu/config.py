@@ -46,6 +46,10 @@ class FlexConfig:
     # --order-file=path.npy loads it if present, else computes + saves
     order_file: str | None = None
 
+    # flag names the user set explicitly on the CLI (from_args fills it);
+    # lets --method=auto honor user overrides over the autotuner's
+    explicit: frozenset = frozenset()
+
     def prep_kwargs(self, method: str) -> dict:
         if method == "ell":
             kw = {"b_dtype": self.b_dtype}
@@ -72,22 +76,28 @@ class FlexConfig:
         """Parse --key=value overrides; returns (config, positional args)."""
         cfg = FlexConfig()
         pos = []
+        explicit = set()
         for a in argv:
             if a.startswith("--"):
-                key, _, val = a[2:].partition("=")
+                key, eq, val = a[2:].partition("=")
                 key = key.replace("-", "_")
-                if not hasattr(cfg, key):
+                if not hasattr(cfg, key) or key == "explicit":
                     raise SystemExit(f"unknown flag --{key}")
                 cur = getattr(cfg, key)
                 if isinstance(cur, bool):
                     val = val.lower() not in ("0", "false", "no") if val else True
-                elif isinstance(cur, int):
-                    val = int(val)
-                elif isinstance(cur, tuple) or key == "widths":
-                    val = tuple(int(x) for x in val.split(","))
-                elif cur is None or isinstance(cur, str):
-                    val = val or None
+                else:
+                    if not val:
+                        # a bare non-bool flag would silently become None
+                        # and crash far from the parse site
+                        raise SystemExit(f"--{key} needs a value (--{key}=...)")
+                    if isinstance(cur, int):
+                        val = int(val)
+                    elif isinstance(cur, tuple) or key == "widths":
+                        val = tuple(int(x) for x in val.split(","))
                 setattr(cfg, key, val)
+                explicit.add(key)
             else:
                 pos.append(a)
+        cfg.explicit = frozenset(explicit)
         return cfg, pos

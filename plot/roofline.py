@@ -32,6 +32,9 @@ def main(argv=None) -> int:
 
     from flex_tpu.bench.harness import ROOFLINE
 
+    if chip not in ROOFLINE:
+        print(f"unknown chip {chip!r}; choose from {sorted(ROOFLINE)}")
+        return 2
     roofs = ROOFLINE[chip]
     rows = list(csv.DictReader(open(csv_path)))
     ai = np.logspace(-2, 3, 200)
@@ -40,9 +43,10 @@ def main(argv=None) -> int:
                label=f"{chip} roof (HBM {roofs['hbm']/1e9:.0f} GB/s, "
                      f"f32 {roofs['f32']/1e12:.0f} TF/s)")
     for r in rows:
-        if not r.get("gflops"):
+        # error rows carry gflops="0.0" — a truthy STRING; parse first
+        gf = float(r.get("gflops") or 0)
+        if gf <= 0:
             continue
-        gf = float(r["gflops"])
         nnz, k, m = int(r["nnz"]), int(r["k"]), int(r["m"])
         # effective AI from the ideal byte model (A once, B once, C once)
         bytes_ = nnz * 8 + m * k * 8
