@@ -433,17 +433,28 @@ def worker(out_path: str) -> None:
 # parent
 # --------------------------------------------------------------------------
 
+_CHILD: list = []  # live worker Popen, killed by the parent's signal handler
+
+
 def _run_worker(timeout: float) -> dict | None:
     if os.path.exists(RESULT):
         os.unlink(RESULT)
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", RESULT],
+    )
+    _CHILD.append(p)
     try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", RESULT],
-            timeout=timeout,
-        )
+        p.wait(timeout=timeout)
         log(f"worker exited rc={p.returncode}")
     except subprocess.TimeoutExpired:
         log("worker timed out")
+        p.kill()
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+    finally:
+        _CHILD.remove(p)
     if os.path.exists(RESULT):
         try:
             with open(RESULT) as f:
@@ -453,44 +464,8 @@ def _run_worker(timeout: float) -> dict | None:
     return None
 
 
-def main() -> None:
-    # Fresh-process attempts until one comes back healthy or the wall
-    # budget runs out (documented recovery: relay wedges clear in ~1 min;
-    # the init watchdog turns a hung backend into a 3-min failed attempt
-    # instead of a 40-min one, so multiple attempts fit the same budget).
-    deadline = time.time() + 2700
-    res = None
-    attempt = 0
-    while True:
-        attempt += 1
-        # cap any single attempt at 1800 s so a worker that hangs AFTER
-        # init (mid-compile/mid-benchmark, where the init watchdog can't
-        # see it) still leaves room for at least one fresh-process retry
-        r = _run_worker(timeout=max(300.0, min(1800.0,
-                                               deadline - time.time())))
-        if r is not None and "value" in r:
-            # keep the first valued result unless the new one is healthy
-            if res is None or "value" not in res or r.get("env_ok", False):
-                res = r
-            if attempt > 1:
-                # annotate the KEPT result (annotating only the new one
-                # lost the marker when the first capture was retained)
-                res.setdefault("annotations", []).append(
-                    f"retry:capture-{attempt}")
-            if r.get("env_ok", False):
-                break
-        elif res is None:
-            res = r  # keep annotations (e.g. backend-init-hang) for the log
-        why = "no result" if r is None else \
-            ",".join(r.get("annotations", [])) or "no value"
-        if time.time() + 60 + 300 > deadline:
-            log(f"capture degraded ({why}); wall budget exhausted "
-                f"after attempt {attempt}")
-            break
-        log(f"capture degraded ({why}); retrying in 60s "
-            f"(attempt {attempt} done)...")
-        time.sleep(60)
-
+def _final_line(res: dict | None) -> str:
+    """The ONE stdout line, built from whatever we have (possibly None)."""
     if res is None or "value" not in res:
         out = {
             "metric": "spmm_effective_gflops_reddit_posts_k128",
@@ -511,7 +486,98 @@ def main() -> None:
                     "annotations"):
             if key in res and res[key] not in (None, [],):
                 out[key] = res[key]
-    print(json.dumps(out))
+    return json.dumps(out)
+
+
+def main() -> None:
+    # Fresh-process attempts until one comes back healthy or the wall
+    # budget runs out (documented recovery: relay wedges clear in ~1 min;
+    # the init watchdog turns a hung backend into a 3-min failed attempt
+    # instead of a 40-min one, so multiple attempts fit the same budget).
+    #
+    # The one-line-JSON contract must hold under EVERY failure mode
+    # (VERDICT r03 item 1: a 2700 s internal budget overran the driver's
+    # kill timer and rc=124 swallowed even the value-0 fallback line).
+    # Two defenses: (a) the wall budget is 1200 s — well inside any
+    # plausible driver window; (b) SIGTERM/SIGINT print the best line
+    # seen so far before exiting, so even a kill mid-attempt emits.
+    import signal
+
+    state: dict = {"res": None, "emitted": False}
+
+    def _emit_now(signum=None, frame=None):
+        if not state["emitted"]:
+            state["emitted"] = True
+            res_now = state["res"]
+            if (signum is not None
+                    and (res_now is None or "value" not in res_now)
+                    and os.path.exists(RESULT)):
+                # a mid-attempt kill: the worker emits incrementally, so a
+                # valid headline may already be on disk — salvage it
+                try:
+                    with open(RESULT) as f:
+                        r = json.load(f)
+                    if "value" in r:
+                        res_now = r
+                except (json.JSONDecodeError, OSError):
+                    pass
+            line = _final_line(res_now)
+            if signum is not None:
+                if res_now is None or "value" not in res_now:
+                    # the fallback line: mark WHY it is 0
+                    d = json.loads(line)
+                    d.setdefault("annotations", []).append(
+                        f"killed-by-signal-{signum}")
+                    line = json.dumps(d)
+            print(line, flush=True)
+        if signum is not None:
+            for p in list(_CHILD):  # don't leave a TPU-holding orphan
+                try:
+                    p.kill()
+                except OSError:
+                    pass
+            os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_now)
+    signal.signal(signal.SIGINT, _emit_now)
+
+    deadline = time.time() + 1200
+    res = None
+    attempt = 0
+    while True:
+        attempt += 1
+        # cap any single attempt at 840 s so a worker that hangs AFTER
+        # init (mid-compile/mid-benchmark, where the init watchdog can't
+        # see it) still leaves room for at least one fresh-process retry
+        r = _run_worker(timeout=max(300.0, min(840.0,
+                                               deadline - time.time())))
+        if r is not None and "value" in r:
+            # keep the first valued result unless the new one is healthy
+            if res is None or "value" not in res or r.get("env_ok", False):
+                res = r
+            if attempt > 1:
+                # annotate the KEPT result (annotating only the new one
+                # lost the marker when the first capture was retained)
+                res.setdefault("annotations", []).append(
+                    f"retry:capture-{attempt}")
+            state["res"] = res
+            if r.get("env_ok", False):
+                break
+        elif res is None:
+            res = r  # keep annotations (e.g. backend-init-hang) for the log
+            state["res"] = res
+        why = "no result" if r is None else \
+            ",".join(r.get("annotations", [])) or "no value"
+        if time.time() + 60 + 300 > deadline:
+            log(f"capture degraded ({why}); wall budget exhausted "
+                f"after attempt {attempt}")
+            break
+        log(f"capture degraded ({why}); retrying in 60s "
+            f"(attempt {attempt} done)...")
+        time.sleep(60)
+
+    state["res"] = res
+    _emit_now()
 
 
 if __name__ == "__main__":

@@ -128,3 +128,82 @@ def test_later_healthy_beats_earlier_degraded(bench, capsys, monkeypatch):
     assert n == 2
     assert out["value"] == 110.0
     assert out["env_ok"] is True
+
+
+def test_sigterm_mid_attempt_still_prints_one_line(tmp_path):
+    """The one-line contract must hold when the DRIVER kills bench.py
+    (VERDICT r03 item 1: rc=124 swallowed even the value-0 fallback).
+    Run main() in a real process with a hanging worker, SIGTERM it, and
+    require the JSON line on stdout."""
+    import os
+    import signal
+    import subprocess
+    import time as _time
+
+    script = tmp_path / "drive.py"
+    script.write_text(
+        "import sys; sys.path.insert(0, %r)\n"
+        "import importlib.util, time\n"
+        "spec = importlib.util.spec_from_file_location('bench_mod', %r)\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "def w(timeout):\n"
+        "    open(%r, 'w').write('in-attempt')\n"
+        "    time.sleep(3600)\n"
+        "mod._run_worker = w\n"
+        "mod.main()\n" % (os.getcwd(), os.path.abspath("bench.py"),
+                           str(tmp_path / "ready")))
+    p = subprocess.Popen([sys.executable, str(script)],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    for _ in range(300):  # wait until it is inside the hanging attempt
+        if (tmp_path / "ready").exists():
+            break
+        _time.sleep(0.1)
+    else:
+        pytest.fail("driver script never reached the worker attempt")
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=30)
+    lines = out.decode().strip().splitlines()
+    assert len(lines) == 1, lines
+    d = json.loads(lines[0])
+    assert d["value"] == 0.0
+    assert any("killed-by-signal" in a for a in d["annotations"])
+
+
+def test_sigterm_salvages_on_disk_result(tmp_path, monkeypatch):
+    """A kill mid-attempt after the worker already emitted a valid result
+    file must report that value, not 0."""
+    import os
+    import signal
+    import subprocess
+    import time as _time
+
+    result = tmp_path / "result.json"
+    result.write_text(json.dumps({"value": 88.5, "env_ok": True}))
+    script = tmp_path / "drive.py"
+    script.write_text(
+        "import sys; sys.path.insert(0, %r)\n"
+        "import importlib.util, time\n"
+        "spec = importlib.util.spec_from_file_location('bench_mod', %r)\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "mod.RESULT = %r\n"
+        "def w(timeout):\n"
+        "    open(%r, 'w').write('in-attempt')\n"
+        "    time.sleep(3600)\n"
+        "mod._run_worker = w\n"
+        "mod.main()\n"
+        % (os.getcwd(), os.path.abspath("bench.py"), str(result),
+           str(tmp_path / "ready")))
+    p = subprocess.Popen([sys.executable, str(script)],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    for _ in range(300):
+        if (tmp_path / "ready").exists():
+            break
+        _time.sleep(0.1)
+    else:
+        pytest.fail("driver script never reached the worker attempt")
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=30)
+    d = json.loads(out.decode().strip().splitlines()[-1])
+    assert d["value"] == 88.5
