@@ -390,8 +390,14 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
                 *, layout):
     """Traced dense-A build + per-nnz hit mask / miss-rank cumsum —
     shared by the residue-compaction core and the scatter-assembled
-    residue variant."""
-    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
+    residue variant.
+
+    ``layout[9]`` (transposed, default False) selects the Aᵀ step layout
+    [total_steps, G·W, TM] used by the k<128-specialized kernel
+    (:func:`_window_pallas_t_raw`) — same scatter, swapped in-step index
+    terms, zero extra cost."""
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
+    transposed = layout[9] if len(layout) > 9 else False
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
@@ -404,8 +410,13 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # Misses scatter to an out-of-bounds index and get dropped — no dump
     # slot, no post-slice copy of the multi-GB buffer (the copy doubled
     # transient HBM and OOM'd near the 6 GB dense cap).
-    flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
-            + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
+    if transposed:
+        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+                + ((j % g_step) * W + dev_col % W) * TM + rows % TM)
+    else:
+        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+                + (rows % TM) * (g_step * W) + (j % g_step) * W
+                + dev_col % W)
     # A set-scatter runs 200 vs 268 ms at 23M updates
     # (experiments/tpre_breakdown.py) but keeps only one of duplicate
     # (row, col) entries, whose values must SUM (test_duplicates.py) —
@@ -413,8 +424,9 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # equal pairs in the sorted-within-row CSR) and only then unlocks it.
     scat = jnp.zeros((a_elems,), jnp.float32).at[jnp.where(hit, flat, a_elems)]
     A = (scat.set(dev_vals, mode="drop") if unique_rc
-         else scat.add(dev_vals, mode="drop")
-         ).reshape(total_steps, TM, g_step * W)
+         else scat.add(dev_vals, mode="drop"))
+    A = A.reshape(total_steps, g_step * W, TM) if transposed \
+        else A.reshape(total_steps, TM, g_step * W)
 
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))  # int32-safe: nnz < 2^31
     return A, hit, miss_cum
@@ -447,7 +459,7 @@ def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     """
     A, hit, miss_cum = _dense_core(dev_row_ptr, dev_col, dev_vals,
                                    slot_tab, pstep0, layout=layout)
-    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
     pos = jnp.where(hit, n_res, miss_cum - 1)
     res_src = jnp.zeros((n_res,), jnp.int32).at[pos].set(
         jnp.arange(nnz, dtype=jnp.int32), mode="drop")
@@ -566,7 +578,8 @@ def _build_windowed_ell_scatter2(dev_row_ptr, dev_col, dev_vals, slot_tab,
     prefix once (~11 ms at 6 GB) and transiently doubles its HBM —
     prepare_windowed guards a_elems + padded_total < 2^31.
     """
-    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout
+    nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
+    transposed = layout[9] if len(layout) > 9 else False
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
@@ -574,8 +587,13 @@ def _build_windowed_ell_scatter2(dev_row_ptr, dev_col, dev_vals, slot_tab,
     j1 = slot_tab[p * nblk + blk].astype(jnp.int32)
     hit = j1 > 0
     j = j1 - 1
-    flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
-            + (rows % TM) * (g_step * W) + (j % g_step) * W + dev_col % W)
+    if transposed:
+        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+                + ((j % g_step) * W + dev_col % W) * TM + rows % TM)
+    else:
+        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+                + (rows % TM) * (g_step * W) + (j % g_step) * W
+                + dev_col % W)
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))
     dH = jnp.concatenate([h_tab[:1], jnp.diff(h_tab)])
     delta = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[:-1]].add(
@@ -587,7 +605,9 @@ def _build_windowed_ell_scatter2(dev_row_ptr, dev_col, dev_vals, slot_tab,
     # owns a distinct slot), so the unique_rc set-unlock carries over
     combined = scat.set(dev_vals, mode="promise_in_bounds") if unique_rc \
         else scat.add(dev_vals, mode="promise_in_bounds")
-    A = combined[:a_elems].reshape(total_steps, TM, g_step * W)
+    A = combined[:a_elems].reshape(total_steps, g_step * W, TM) \
+        if transposed else \
+        combined[:a_elems].reshape(total_steps, TM, g_step * W)
     val_flat = combined[a_elems:]
     col_flat = jnp.zeros((padded_total,), jnp.int32).at[
         jnp.where(hit, padded_total, ell_dest)].set(dev_col, mode="drop")
@@ -699,6 +719,105 @@ def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
     )(first, out_panel, win_step, A, *([B_pad] * g_step))
 
 
+def _make_window_kernel_t(precision):
+    def kernel(first_ref, panel_ref, win_ref, a_ref, *refs):
+        b_refs, o_ref = refs[:-1], refs[-1]
+        s = pl.program_id(0)
+
+        @pl.when(first_ref[s] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        bcat = jnp.concatenate([b[:] for b in b_refs], axis=1)  # (k, G*W)
+        o_ref[:] += jax.lax.dot(
+            bcat, a_ref[0], precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _window_pallas_t_vjp(n_panels, W, k, precision, interpret):
+    """custom_vjp around the TRANSPOSED Pallas forward (Cᵀ = Bᵀ·Aᵀ per
+    step); backward in plain XLA, mirroring :func:`_window_pallas_vjp`:
+    g_Aᵀ(s) = Bᵀw(s)ᵀ · g_panelᵀ(s), g_Bᵀ = Σ g_panelᵀ(s) · Aᵀ(s)ᵀ
+    scatter-added into the gathered window columns."""
+
+    @jax.custom_vjp
+    def f(first, out_panel, win_step, A_T, B_T):
+        return _window_pallas_t_raw(first, out_panel, win_step, A_T, B_T,
+                                    n_panels=n_panels, W=W, k=k,
+                                    precision=precision, interpret=interpret)
+
+    def fwd(first, out_panel, win_step, A_T, B_T):
+        return f(first, out_panel, win_step, A_T, B_T), (
+            first, out_panel, win_step, A_T, B_T)
+
+    def bwd(resid, g):
+        first, out_panel, win_step, A_T, B_T = resid
+        S, GW, TM = A_T.shape
+        g_p = g.reshape(k, n_panels, TM).transpose(1, 0, 2)[out_panel]
+        cols_idx = (win_step[:, None] * W
+                    + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+        Bw = B_T[:, cols_idx].reshape(k, S, GW)          # (k, S, GW)
+        g_AT = jnp.einsum("csw,scm->swm", Bw, g_p, precision=precision,
+                          preferred_element_type=jnp.float32)
+        gw = jnp.einsum("scm,swm->csw", g_p, A_T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        g_BT = jnp.zeros_like(B_T).at[:, cols_idx].add(
+            gw.reshape(k, S * GW))
+        return (None, None, None, g_AT, g_BT)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _window_pallas_t(first, out_panel, win_step, A_T, B_T, *, n_panels, W,
+                     k, precision, interpret):
+    return _window_pallas_t_vjp(n_panels, W, k, precision, interpret)(
+        first, out_panel, win_step, A_T, B_T)
+
+
+def _window_pallas_t_raw(first, out_panel, win_step, A_T, B_T, *, n_panels,
+                         W, k, precision, interpret):
+    """k<128-specialized transposed kernel: grid = (total_steps,); per
+    step one (k, G·W) x (G·W, TM) MXU dot accumulated into the panel's
+    (k, TM) output block.  The MXU lane dimension is TM (=128-multiple)
+    instead of k, so a narrow k wastes no lanes: at k=32 each step costs
+    ~¼ the MXU passes of the row-major kernel, whose (TM, G·W)x(G·W, k)
+    dot pads k to 128 (the reference k-specializes its kernels the same
+    way — v31–v35, flex.cu:4752-4759).  Bᵀ is (k, (nblk+1)·W) with the
+    sentinel zero block last; A comes in the Aᵀ step layout
+    [S, G·W, TM] built by :func:`_dense_core` with ``transposed=True``."""
+    total_steps, GW, TM = A_T.shape
+    g_step = GW // W
+
+    def b_spec(gi):
+        return pl.BlockSpec(
+            (k, W), lambda s, f, op, ws, gi=gi: (0, ws[s * g_step + gi]),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec((1, GW, TM), lambda s, f, op, ws: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[b_spec(gi) for gi in range(g_step)],
+        ],
+        out_specs=pl.BlockSpec((k, TM), lambda s, f, op, ws: (0, op[s]),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_window_kernel_t(precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, n_panels * TM), jnp.float32),
+        interpret=interpret,
+    )(first, out_panel, win_step, A_T, *([B_T] * g_step))
+
+
 def _window_xla(win_step, A, B_pad, out_panel_np, *, n_panels, W, k,
                 precision):
     """XLA fallback formulation (2D-index window take + batched einsum,
@@ -726,6 +845,7 @@ def _windowed_call(plan: "WindowedPlan", B):
     barrier keeps XLA from distributing the pad over the downstream
     gathers and recreating the narrow-lane chain (cf. ``_ell_spmm``)."""
     k = kp = B.shape[1]
+    B_raw = B
     if k < 128:
         kp = 128
         B = jax.lax.optimization_barrier(jnp.concatenate(
@@ -734,17 +854,38 @@ def _windowed_call(plan: "WindowedPlan", B):
     nblk = max(-(-plan.n // W), 1)
     n_panels = plan.n_used_panels
     if plan.A.shape[0]:
-        B_pad = jnp.zeros(((nblk + 1) * W, kp), jnp.float32).at[
-            : plan.n].set(B)
-        if plan.impl == "xla":
-            out = _window_xla(plan.win_step, plan.A, B_pad, plan.out_panel,
-                              n_panels=n_panels, W=W, k=kp,
-                              precision=plan.precision)
+        if plan.transposed:
+            # k<128-specialized path: the dense half runs at the ORIGINAL
+            # k (sublane-aligned to 8) through the transposed kernel — no
+            # 128-lane padding, so k=32 does ~¼ the MXU passes.  Only the
+            # gather/residue chain keeps the 128-lane layout (narrow-lane
+            # gathers are 3-19x slower — docs/measurements.md).
+            kt = -(-k // 8) * 8
+            B_T = jnp.zeros((kt, (nblk + 1) * W), jnp.float32).at[
+                :k, : plan.n].set(B_raw.T.astype(jnp.float32))
+            outT = _window_pallas_t(plan.first, plan.out_panel,
+                                    plan.win_step, plan.A, B_T,
+                                    n_panels=n_panels, W=W, k=kt,
+                                    precision=plan.precision,
+                                    interpret=plan.interpret)
+            out = outT.T[:, :k]                       # (R, k)
+            if kp != k:
+                out = jax.lax.optimization_barrier(jnp.concatenate(
+                    [out, jnp.zeros((out.shape[0], kp - k), jnp.float32)],
+                    axis=1))
         else:
-            out = _window_pallas(plan.first, plan.out_panel, plan.win_step,
-                                 plan.A, B_pad, n_panels=n_panels, W=W,
-                                 k=kp, precision=plan.precision,
-                                 interpret=plan.interpret)
+            B_pad = jnp.zeros(((nblk + 1) * W, kp), jnp.float32).at[
+                : plan.n].set(B)
+            if plan.impl == "xla":
+                out = _window_xla(plan.win_step, plan.A, B_pad,
+                                  plan.out_panel, n_panels=n_panels, W=W,
+                                  k=kp, precision=plan.precision)
+            else:
+                out = _window_pallas(plan.first, plan.out_panel,
+                                     plan.win_step, plan.A, B_pad,
+                                     n_panels=n_panels, W=W, k=kp,
+                                     precision=plan.precision,
+                                     interpret=plan.interpret)
         cat = jnp.concatenate([out, jnp.zeros((1, kp), jnp.float32)], axis=0)
         dense = cat[plan.row_gather][: plan.m]
     else:
@@ -776,6 +917,7 @@ class WindowedPlan:
     impl: str = "pallas"
     precision: Any = jax.lax.Precision.HIGHEST
     min_count_eff: int = 0   # realized count gate (≠ min_count when budgeted)
+    transposed: bool = False  # Aᵀ layout + k<128-specialized kernel
 
     def __call__(self, B) -> jax.Array:
         return _windowed_call(self, B)
@@ -794,6 +936,7 @@ class WindowedPlan:
             "W": self.W,
             "impl": self.impl,
             "min_count_eff": self.min_count_eff,
+            "transposed": self.transposed,
         }
 
     def traffic_model(self, k: int) -> dict:
@@ -804,7 +947,9 @@ class WindowedPlan:
         this chip the dense part is usually MXU-HIGHEST-bound, not
         byte-bound (docs/measurements.md)."""
         st = self.stats
-        g_step = (int(self.A.shape[2]) // self.W) if self.A.ndim == 3 else G
+        gw_axis = 1 if self.transposed else 2
+        g_step = (int(self.A.shape[gw_axis]) // self.W) \
+            if self.A.ndim == 3 else G
         by = (st["dense_bytes"]
               + st["n_steps"] * g_step * self.W * k * 4
               + 3 * self.m * k * 4)
@@ -828,6 +973,7 @@ def prepare_windowed(
     g_step: int = G,
     step_order: str = "row",
     fused: bool | str = True,
+    transposed: bool = False,
 ) -> WindowedPlan:
     """Build the hybrid plan; refuses (ValueError) when windows would cover
     less than ``min_coverage`` of nnz (pure ELL wins there — the coverage
@@ -863,7 +1009,7 @@ def prepare_windowed(
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
     tabs = sel_device_tables(sel)
     layout = (g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step,
-              sel.get("unique_rc", False))
+              sel.get("unique_rc", False), bool(transposed))
     res_deg = sel.get("res_deg")
     if fused and res_deg is not None:
         # Fused one-program build: the residue ELL layout is static from
@@ -941,6 +1087,7 @@ def prepare_windowed(
         row_gather=tabs["row_gather"],
         ell=ell, coverage=sel["coverage"], interpret=interpret, impl=impl,
         min_count_eff=int(sel.get("min_count_eff", 0)),
+        transposed=bool(transposed),
     )
 
 
@@ -951,17 +1098,19 @@ def spmm_windowed(g: CSRGraph, B, **kwargs):
 def _win_flatten(p: WindowedPlan):
     return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell), (
         p.m, p.n, p.tm, p.W, p.n_used_panels, p.coverage, p.interpret,
-        p.impl, p.precision, p.min_count_eff)
+        p.impl, p.precision, p.min_count_eff, p.transposed)
 
 
 def _win_unflatten(aux, children):
-    m, n, tm, W, n_used, coverage, interpret, impl, precision, mc_eff = aux
+    (m, n, tm, W, n_used, coverage, interpret, impl, precision, mc_eff,
+     transposed) = aux
     return WindowedPlan(m=m, n=n, tm=tm, W=W, n_used_panels=n_used,
                         A=children[0], first=children[1],
                         out_panel=children[2], win_step=children[3],
                         row_gather=children[4], ell=children[5],
                         coverage=coverage, interpret=interpret, impl=impl,
-                        precision=precision, min_count_eff=mc_eff)
+                        precision=precision, min_count_eff=mc_eff,
+                        transposed=transposed)
 
 
 jax.tree_util.register_pytree_node(WindowedPlan, _win_flatten, _win_unflatten)

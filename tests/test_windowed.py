@@ -361,3 +361,65 @@ def test_fused_build_split_chunk_residue():
     chk = res_check(spmm_scipy(g, B), np.asarray(p1(jnp.asarray(B))),
                     g.degrees)
     assert chk.ok, chk
+
+
+# ---------------------------------------------------------------------------
+# transposed (k<128-specialized) kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [16, 32, 64, 128])
+def test_windowed_transposed_matches_scipy(k):
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = make_features(g, k)
+    plan = prepare_windowed(g, tm=256, W=128, J=4, min_count=32,
+                            transposed=True)
+    assert plan.transposed and plan.stats["transposed"]
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"k={k}: {chk} stats={plan.stats}"
+
+
+@pytest.mark.parametrize("fused", [True, False, "scatter", "scatter2"])
+def test_windowed_transposed_build_variants(fused):
+    g = community_graph(2000, 150_000, n_comm=6, seed=3, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = make_features(g, 32)
+    plan = prepare_windowed(g, tm=128, W=128, J=4, min_count=16,
+                            transposed=True, fused=fused)
+    C = np.asarray(plan(jnp.asarray(B)))
+    chk = res_check(spmm_scipy(g, B), C, g.degrees)
+    assert chk.ok, f"fused={fused}: {chk}"
+
+
+def test_windowed_transposed_equals_row_major():
+    # bit-comparable: same selection, same residue; dense halves both use
+    # HIGHEST precision so the two layouts agree to f32 round-off
+    g = community_graph(1500, 120_000, n_comm=5, seed=7, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = make_features(g, 32)
+    p_row = prepare_windowed(g, tm=128, W=128, J=4, min_count=16)
+    p_t = prepare_windowed(g, tm=128, W=128, J=4, min_count=16,
+                           transposed=True)
+    C_row = np.asarray(p_row(jnp.asarray(B)))
+    C_t = np.asarray(p_t(jnp.asarray(B)))
+    np.testing.assert_allclose(C_row, C_t, rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_transposed_grad():
+    import jax
+
+    g = community_graph(800, 40_000, n_comm=4, seed=2, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = jnp.asarray(make_features(g, 16))
+    plan = prepare_windowed(g, tm=128, W=128, J=4, min_count=8,
+                            transposed=True)
+    p_ref = prepare_windowed(g, tm=128, W=128, J=4, min_count=8)
+
+    def loss(plan, B):
+        return (plan(B) ** 2).sum()
+
+    gB_t = jax.grad(loss, argnums=1)(plan, B)
+    gB_r = jax.grad(loss, argnums=1)(p_ref, B)
+    np.testing.assert_allclose(np.asarray(gB_t), np.asarray(gB_r),
+                               rtol=1e-4, atol=1e-4)
