@@ -70,6 +70,52 @@ MAX_DENSE_BYTES = 6 << 30
 # to the O(nnz) host bincount when a host CSR exists (_panel_block_hist)
 _HIST_D2H_MAX_BYTES = 32 << 20
 
+# Chunked dense-A assembly (round 4): XLA's 1D scatter is in-place, but
+# the (a_elems,) -> (S, TM, G·W) reshape is a physical tile-relayout that
+# doubles peak HBM (measured: temp == a_elems·4 for every multi-dim or
+# reshaped scatter; the 6.38 GB reddit build peaked at 13 GB and OOM'd
+# the 16 GB chip after the r3 outage).  Above the trigger the build
+# scatters per ~1 GB step-range chunk and dynamic-update-slices into one
+# 3D A (XLA performs single-use DUS chains in place), so peak becomes
+# dense + 2·chunk instead of 2·dense.
+_A_CHUNK_TRIGGER_BYTES = 2 << 30
+_A_CHUNK_TARGET_BYTES = 1 << 30
+
+
+def _plan_build_chunks(used, pstep0, total_steps, tm, W, g_step,
+                       row_ptr_h, m, a_elems):
+    """Host chunk plan for the dense-A build: tuple of
+    ``(nnz_lo, nnz_hi, s_lo, s_hi)`` spans, each covering whole used
+    panels whose steps fill ~_A_CHUNK_TARGET_BYTES.  Requires row-order
+    steps (ascending ``used``) so each chunk's nnz is one contiguous CSR
+    slice; returns None (single-scatter build) otherwise or when the
+    dense array is small enough that the relayout copy fits."""
+    if (total_steps == 0 or a_elems * 4 <= _A_CHUNK_TRIGGER_BYTES
+            or row_ptr_h is None or len(used) == 0):
+        return None
+    if not np.all(np.diff(used) > 0):
+        return None  # lex step order permutes panels: slices not contiguous
+    starts = pstep0[used]
+    if not np.all(np.diff(starts) > 0):
+        return None
+    blk_bytes = tm * g_step * W * 4
+    steps_per_chunk = max(int(_A_CHUNK_TARGET_BYTES // blk_bytes), 1)
+    ends = np.append(starts[1:], total_steps)
+    bounds = []
+    i, n_used = 0, len(used)
+    while i < n_used:
+        s_lo = int(starts[i])
+        j = i
+        while j + 1 < n_used and int(ends[j + 1]) - s_lo <= steps_per_chunk:
+            j += 1
+        bounds.append((
+            int(row_ptr_h[min(int(used[i]) * tm, m)]),
+            int(row_ptr_h[min((int(used[j]) + 1) * tm, m)]),
+            s_lo, int(ends[j]),
+        ))
+        i = j + 1
+    return tuple(bounds)
+
 
 def _panel_block_hist(g: CSRGraph, dev, tm: int, W: int, P: int,
                       nblk: int, key_h: np.ndarray | None = None
@@ -320,6 +366,9 @@ def window_select(
     return {
         "G": g_step,
         "min_count_eff": min_count_eff,
+        "build_chunks": _plan_build_chunks(
+            used, pstep0, total_steps, tm, W, g_step, row_ptr_h, m,
+            a_elems),
         "res_deg": res_deg,
         "unique_rc": unique_rc,
         "win_step": win_step,
@@ -387,7 +436,7 @@ def sel_device_tables(sel: dict) -> dict:
 
 
 def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                *, layout):
+                *, layout, chunks=None):
     """Traced dense-A build + per-nnz hit mask / miss-rank cumsum —
     shared by the residue-compaction core and the scatter-assembled
     residue variant.
@@ -422,18 +471,37 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # (row, col) entries, whose values must SUM (test_duplicates.py) —
     # window_select detects duplicate-freeness on the host (adjacent
     # equal pairs in the sorted-within-row CSR) and only then unlocks it.
-    scat = jnp.zeros((a_elems,), jnp.float32).at[jnp.where(hit, flat, a_elems)]
-    A = (scat.set(dev_vals, mode="drop") if unique_rc
-         else scat.add(dev_vals, mode="drop"))
-    A = A.reshape(total_steps, g_step * W, TM) if transposed \
-        else A.reshape(total_steps, TM, g_step * W)
+    idx = jnp.where(hit, flat, a_elems)
+    blk_shape = (g_step * W, TM) if transposed else (TM, g_step * W)
+    blk_elems = TM * g_step * W
+    if chunks:
+        # chunked assembly (see _A_CHUNK_TRIGGER_BYTES): per chunk one
+        # in-place 1D scatter + one chunk-sized relayout, DUS'd into the
+        # single 3D A — peak HBM = dense + 2·chunk instead of 2·dense.
+        # Misses (idx == a_elems) and other-chunk hits shift out of
+        # [0, n_c) after the base subtraction and drop.
+        A = jnp.zeros((total_steps,) + blk_shape, jnp.float32)
+        for (lo, hi, s_lo, s_hi) in chunks:
+            n_c = (s_hi - s_lo) * blk_elems
+            ci = jax.lax.slice(idx, (lo,), (hi,)) - s_lo * blk_elems
+            cv = jax.lax.slice(dev_vals, (lo,), (hi,))
+            sc = jnp.zeros((n_c,), jnp.float32).at[ci]
+            buf = (sc.set(cv, mode="drop") if unique_rc
+                   else sc.add(cv, mode="drop"))
+            A = jax.lax.dynamic_update_slice(
+                A, buf.reshape((s_hi - s_lo,) + blk_shape), (s_lo, 0, 0))
+    else:
+        scat = jnp.zeros((a_elems,), jnp.float32).at[idx]
+        A = (scat.set(dev_vals, mode="drop") if unique_rc
+             else scat.add(dev_vals, mode="drop"))
+        A = A.reshape((total_steps,) + blk_shape)
 
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))  # int32-safe: nnz < 2^31
     return A, hit, miss_cum
 
 
 def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                *, layout):
+                *, layout, chunks=None):
     """Traced core of the device format build from the resident CSR +
     O(P)+O(P·nblk) tables (jit wrappers: :func:`_build_windowed`, and
     :func:`_build_windowed_ell` which fuses the residue ELL build into
@@ -458,7 +526,8 @@ def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     contiguous-slice layout stays valid.
     """
     A, hit, miss_cum = _dense_core(dev_row_ptr, dev_col, dev_vals,
-                                   slot_tab, pstep0, layout=layout)
+                                   slot_tab, pstep0, layout=layout,
+                                   chunks=chunks)
     nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
     pos = jnp.where(hit, n_res, miss_cum - 1)
     res_src = jnp.zeros((n_res,), jnp.int32).at[pos].set(
@@ -481,20 +550,21 @@ def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     return A, res_col, res_vals, res_row_ptr
 
 
-@functools.partial(jax.jit, static_argnames=("layout",))
+@functools.partial(jax.jit, static_argnames=("layout", "chunks"))
 def _build_windowed(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                    *, layout):
+                    *, layout, chunks=None):
     """Jitted :func:`_build_core` — the two-program path (this + a
     separate :func:`flex_tpu.ops.ell_spmm._ell_meta_buckets` dispatch),
     used by the sharded builder and as the fallback when the selection
     carries no host residue degrees."""
     return _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                       layout=layout)
+                       layout=layout, chunks=chunks)
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "ell_meta"))
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "ell_meta", "chunks"))
 def _build_windowed_ell(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
-                        *, layout, ell_meta):
+                        *, layout, ell_meta, chunks=None):
     """Fused one-program build: dense A + residue compaction + residue
     ELL buckets in a single XLA executable (one dispatch, one sync).
 
@@ -506,7 +576,8 @@ def _build_windowed_ell(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     statically (``ell_meta``), which window_select's host ``res_deg``
     pass provides for free."""
     A, res_col, res_vals, res_row_ptr = _build_core(
-        dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0, layout=layout)
+        dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0, layout=layout,
+        chunks=chunks)
     from flex_tpu.ops.ell_spmm import ell_buckets_core
 
     buckets, chunk_row = ell_buckets_core(
@@ -515,10 +586,11 @@ def _build_windowed_ell(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("layout", "bucket_meta", "padded_total"))
+                   static_argnames=("layout", "bucket_meta", "padded_total",
+                                    "chunks"))
 def _build_windowed_ell_scatter(dev_row_ptr, dev_col, dev_vals, slot_tab,
                                 pstep0, h_tab, *, layout, bucket_meta,
-                                padded_total):
+                                padded_total, chunks=None):
     """Round-3 stage-2 variant: the residue is scattered DIRECTLY into
     the padded bucket-major ELL layout, replacing the compaction scatter
     + pack gather + per-bucket dynamic-slice assembly with one packed
@@ -536,7 +608,8 @@ def _build_windowed_ell_scatter(dev_row_ptr, dev_col, dev_vals, slot_tab,
     residue slots, so the scatter is always a set.
     """
     A, hit, miss_cum = _dense_core(dev_row_ptr, dev_col, dev_vals,
-                                   slot_tab, pstep0, layout=layout)
+                                   slot_tab, pstep0, layout=layout,
+                                   chunks=chunks)
     nnz = layout[0]
     dH = jnp.concatenate([h_tab[:1], jnp.diff(h_tab)])
     delta = jnp.zeros((nnz,), jnp.int32).at[dev_row_ptr[:-1]].add(
@@ -1041,10 +1114,13 @@ def prepare_windowed(
                 builder = _build_windowed_ell_scatter2
             else:
                 builder = _build_windowed_ell_scatter
+            bkw = {} if fused == "scatter2" else {
+                "chunks": sel.get("build_chunks")}
             A, buckets = builder(
                 dev.row_ptr, dev.col, dev.vals, tabs["slot"],
                 tabs["pstep0"], st["h"], layout=layout,
-                bucket_meta=st["bucket_meta"], padded_total=st["padded"])
+                bucket_meta=st["bucket_meta"], padded_total=st["padded"],
+                **bkw)
             ell = EllPlan(m=g.m, buckets=buckets,
                           chunk_row=st["chunk_row"],
                           padded_nnz=st["padded"], nnz=n_res,
@@ -1057,13 +1133,14 @@ def prepare_windowed(
                         n_rows_last)
             A, buckets, chunk_row = _build_windowed_ell(
                 dev.row_ptr, dev.col, dev.vals, tabs["slot"],
-                tabs["pstep0"], layout=layout, ell_meta=ell_meta)
+                tabs["pstep0"], layout=layout, ell_meta=ell_meta,
+                chunks=sel.get("build_chunks"))
             ell = EllPlan(m=g.m, buckets=buckets, chunk_row=chunk_row,
                           padded_nnz=padded, nnz=n_res, b_dtype=b_dtype)
     else:
         A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
             dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
-            layout=layout)
+            layout=layout, chunks=sel.get("build_chunks"))
         # The ELL metadata is built on device from the device res_row_ptr;
         # the host copy comes from the selection's res_deg when available
         # (zero transfers, fully async chain) and from one m-sized D2H

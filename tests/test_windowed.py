@@ -423,3 +423,65 @@ def test_windowed_transposed_grad():
     gB_r = jax.grad(loss, argnums=1)(p_ref, B)
     np.testing.assert_allclose(np.asarray(gB_t), np.asarray(gB_r),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_windowed_chunked_build_bit_exact(monkeypatch, transposed):
+    """The chunked dense-A assembly (peak-HBM fix for the r3 OOM) must
+    produce a bit-identical plan to the single-scatter build."""
+    import flex_tpu.ops.window_spmm as ws
+
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = make_features(g, 16)
+
+    p_plain = prepare_windowed(g, tm=256, W=128, J=8, min_count=32,
+                               transposed=transposed)
+    # force chunking: trigger 0, ~3 steps per chunk
+    monkeypatch.setattr(ws, "_A_CHUNK_TRIGGER_BYTES", 0)
+    monkeypatch.setattr(ws, "_A_CHUNK_TARGET_BYTES", 3 * 256 * 512 * 4)
+    p_chunk = prepare_windowed(g, tm=256, W=128, J=8, min_count=32,
+                               transposed=transposed)
+    sel = window_select(g, tm=256, W=128, J=8, min_count=32)
+    assert sel["build_chunks"] is not None and len(sel["build_chunks"]) > 1
+    np.testing.assert_array_equal(np.asarray(p_plain.A),
+                                  np.asarray(p_chunk.A))
+    C1 = np.asarray(p_plain(jnp.asarray(B)))
+    C2 = np.asarray(p_chunk(jnp.asarray(B)))
+    np.testing.assert_array_equal(C1, C2)
+
+
+def test_windowed_chunked_fused_variants(monkeypatch):
+    import flex_tpu.ops.window_spmm as ws
+
+    g = community_graph(2000, 150_000, n_comm=6, seed=3, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    B = make_features(g, 16)
+    gold = spmm_scipy(g, B)
+    monkeypatch.setattr(ws, "_A_CHUNK_TRIGGER_BYTES", 0)
+    monkeypatch.setattr(ws, "_A_CHUNK_TARGET_BYTES", 2 * 128 * 512 * 4)
+    for fused in (True, "scatter", False):
+        plan = prepare_windowed(g, tm=128, W=128, J=4, min_count=16,
+                                fused=fused)
+        chk = res_check(gold, np.asarray(plan(jnp.asarray(B))), g.degrees)
+        assert chk.ok, f"fused={fused}: {chk}"
+
+
+def test_windowed_chunk_plan_covers_all_steps():
+    from flex_tpu.ops.window_spmm import _plan_build_chunks
+
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    sel = window_select(g, tm=256, W=128, J=8, min_count=32)
+    rp = np.concatenate([[0], np.cumsum(g.degrees, dtype=np.int64)])
+    ch = _plan_build_chunks(sel["used"], sel["pstep0"],
+                            sel["total_steps"], 256, 128, sel["G"],
+                            rp, g.m, 1)  # a_elems=1 won't trigger
+    assert ch is None
+    ch = _plan_build_chunks(sel["used"], sel["pstep0"],
+                            sel["total_steps"], 256, 128, sel["G"],
+                            rp, g.m, 10**12)
+    # step spans partition [0, total_steps) in order
+    assert ch[0][2] == 0 and ch[-1][3] == sel["total_steps"]
+    for a, b in zip(ch, ch[1:]):
+        assert a[3] == b[2] and a[0] <= a[1] <= b[0]
