@@ -34,6 +34,9 @@ class FlexConfig:
     W: int = 128
     J: int = 1024
     min_count: int = 128
+    # k<128-specialized transposed kernel (Aᵀ step layout, Cᵀ = Bᵀ·Aᵀ):
+    # no 128-lane padding in the dense half, so k=32 does ~¼ the MXU work
+    transposed: bool = False
 
     # bench params
     iters: int = 10
@@ -66,6 +69,7 @@ class FlexConfig:
             return {
                 "tm": max(self.tm, 256), "W": self.W, "J": self.J,
                 "min_count": self.min_count, "b_dtype": self.b_dtype,
+                "transposed": self.transposed,
             }
         if method == "band":
             return {"tm": max(self.tm, 256)}
