@@ -54,7 +54,10 @@ CONFIGS = [
 ]
 
 
-def main():
+def run_one(idx: int):
+    """One config in THIS process (fresh-process isolation: after any
+    RESOURCE_EXHAUSTED the relay keeps failing subsequent allocations in
+    the same process — measured cascade in the first sweep run)."""
     d = np.load("/tmp/reddit_posts_rbdeg_v3.npz")
     g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
                              name="reddit_posts", order="RBD")
@@ -66,7 +69,7 @@ def main():
     print(f"graph {g}", flush=True)
 
     rows = []
-    for k, tr, tm, W, mc, gs, cap in CONFIGS:
+    for k, tr, tm, W, mc, gs, cap in [CONFIGS[idx]]:
         tag = (f"k={k} T={int(tr)} tm={tm} W={W} mc={mc} G={gs} "
                f"cap={cap >> 30}G")
         B = Bs[k]
@@ -103,10 +106,19 @@ def main():
                   f"{str(e)[:120]}", flush=True)
         gc.collect()
 
-    if rows:
-        best = max(rows, key=lambda r: r[1])
-        print(f"\nBEST: {best[0]} -> {best[1]:.1f} GF/s", flush=True)
+def main():
+    import subprocess
+    import sys
+
+    for i in range(len(CONFIGS)):
+        subprocess.run([sys.executable, "-u", __file__, "--one", str(i)],
+                       timeout=1200)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(int(sys.argv[2]))
+    else:
+        main()
