@@ -80,6 +80,10 @@ def run_one(idx: int):
                                     transposed=tr)
             _sync(plan.__dict__)
             t_pre_cold = time.time() - t0
+            # free plan #1 BEFORE re-preparing: holding two plans peaks
+            # at 2x dense + build temp (the 10 GB configs need 22 GB)
+            del plan
+            gc.collect()
             t0 = time.time()
             plan = prepare_windowed(g, dev=dev, tm=tm, W=W, min_count=mc,
                                     g_step=gs, max_dense_bytes=cap,
