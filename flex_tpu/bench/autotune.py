@@ -60,7 +60,7 @@ def _t_ell(degrees, k: int = 128) -> float:
 
 def suggest(
     g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512,
-    win_tm: int = 256, win_W: int = 128, win_min_count: int = 64,
+    win_tm: int = 256, win_W: int = 128, win_min_count: int = 48,
     dev=None,
 ) -> Suggestion:
     """Static time-model decision from format statistics (no device
@@ -136,6 +136,11 @@ def suggest(
     kw = {}
     if method == "windowed":
         kw = dict(win_kwargs, sel=sel)
+        if k < 128 and win_W % 128 == 0:
+            # k<128-specialized transposed kernel: measured 46.7 vs
+            # 53.7 ms at k=32 on the headline graph (r4 sweep); at k=128
+            # the row-major kernel is ~3% faster, so it stays default
+            kw["transposed"] = True
     elif method == "panel":
         kw = {"tm": tm, "hub_threshold": hub_threshold}
     pretty = ", ".join(f"{m}={t*1e3:.0f}ms" for m, t in sorted(model.items()))

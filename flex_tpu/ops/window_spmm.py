@@ -64,7 +64,11 @@ G = 4  # default windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
 # (bench/autotune.suggest) so the model never proposes plans the builder
 # refuses (round-2 advisor finding).
 MIN_COVERAGE = 0.15
-MAX_DENSE_BYTES = 6 << 30
+# capacity frontier (round-4 sweep, docs/measurements.md): 7.4 GB dense
+# runs clean (120.7 GF/s at mc=48), ~9.9 GB OOMs even with the chunked
+# build (chip-usable ≈ 10 GB total); 8 GB caps the budgeted selection
+# with ~1.7 GB headroom for build temps + call-time B/out
+MAX_DENSE_BYTES = 8 << 30
 
 # Above this histogram size the device-hist D2H (~15 MB/s relay) loses
 # to the O(nnz) host bincount when a host CSR exists (_panel_block_hist)
@@ -1064,6 +1068,12 @@ def prepare_windowed(
         dev = DeviceCSR.from_graph(g)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if transposed and W % 128 != 0:
+        # the transposed kernel's B-block is (k, W): Pallas requires the
+        # lane (last) dim divisible by 128 (lowering error otherwise)
+        raise ValueError(
+            f"transposed windowed requires W % 128 == 0, got W={W} — "
+            f"use W=128 or transposed=False")
     if sel is None:
         sel = window_select(g, tm=tm, W=W, J=J, min_count=min_count,
                             dev=dev, g_step=g_step, step_order=step_order,

@@ -485,3 +485,24 @@ def test_windowed_chunk_plan_covers_all_steps():
     assert ch[0][2] == 0 and ch[-1][3] == sel["total_steps"]
     for a, b in zip(ch, ch[1:]):
         assert a[3] == b[2] and a[0] <= a[1] <= b[0]
+
+
+def test_windowed_transposed_requires_w128():
+    g = community_graph(1000, 60_000, n_comm=4, seed=1, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    with pytest.raises(ValueError, match="W % 128"):
+        prepare_windowed(g, tm=128, W=64, J=4, min_count=8,
+                         transposed=True)
+
+
+def test_autotune_suggests_transposed_below_k128():
+    from flex_tpu.bench.autotune import suggest
+
+    g = community_graph(3000, 300_000, n_comm=8, seed=5, shuffle=True)
+    g = reorder(g, "rbdeg", check=False)
+    s32 = suggest(g, 32, win_min_count=16)
+    s128 = suggest(g, 128, win_min_count=16)
+    if s32.method == "windowed":
+        assert s32.prep_kwargs.get("transposed") is True
+    if s128.method == "windowed":
+        assert "transposed" not in s128.prep_kwargs
