@@ -65,10 +65,11 @@ G = 4  # default windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
 # refuses (round-2 advisor finding).
 MIN_COVERAGE = 0.15
 # capacity frontier (round-4 sweep, docs/measurements.md): 7.4 GB dense
-# runs clean (120.7 GF/s at mc=48), ~9.9 GB OOMs even with the chunked
-# build (chip-usable ≈ 10 GB total); 8 GB caps the budgeted selection
-# with ~1.7 GB headroom for build temps + call-time B/out
-MAX_DENSE_BYTES = 8 << 30
+# runs clean in a bare process (120.7 GF/s at mc=48) but OOMs with the
+# bench worker's probe buffers also resident, and ~9.9 GB OOMs always —
+# the chip-usable working set is ~10 GB.  7 GB caps the budgeted
+# selection with ~2.5 GB headroom for build temps + call-time buffers
+MAX_DENSE_BYTES = 7 << 30
 
 # Above this histogram size the device-hist D2H (~15 MB/s relay) loses
 # to the O(nnz) host bincount when a host CSR exists (_panel_block_hist)
@@ -83,7 +84,7 @@ _HIST_D2H_MAX_BYTES = 32 << 20
 # 3D A (XLA performs single-use DUS chains in place), so peak becomes
 # dense + 2·chunk instead of 2·dense.
 _A_CHUNK_TRIGGER_BYTES = 2 << 30
-_A_CHUNK_TARGET_BYTES = 1 << 30
+_A_CHUNK_TARGET_BYTES = 512 << 20
 
 
 def _plan_build_chunks(used, pstep0, total_steps, tm, W, g_step,
