@@ -320,7 +320,8 @@ def prepare_windowed_sharded(
                         n_rows_last)
             A, buckets, chunk_row = _build_windowed_ell(
                 dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
-                layout=layout, ell_meta=ell_meta)
+                layout=layout, ell_meta=ell_meta,
+                chunks=sel.get("build_chunks"))
             res_plans.append(EllPlan(
                 m=dev_s.m, buckets=buckets, chunk_row=chunk_row,
                 padded_nnz=padded_alloc if live_ws else 0,
@@ -329,7 +330,7 @@ def prepare_windowed_sharded(
         else:
             A, res_col, res_vals, res_rp = _build_windowed(
                 dev_s.row_ptr, dev_s.col, dev_s.vals, slot_d, pstep0_d,
-                layout=layout)
+                layout=layout, chunks=sel.get("build_chunks"))
         S = sel["total_steps"]
         A_pad = jnp.pad(A, ((0, S_max - S), (0, 0), (0, 0)))[None]
         for dvc in devices_of_shard[d_idx]:
