@@ -64,12 +64,12 @@ G = 4  # default windows per grid step (per-step dot: (TM, G*W) x (G*W, k))
 # (bench/autotune.suggest) so the model never proposes plans the builder
 # refuses (round-2 advisor finding).
 MIN_COVERAGE = 0.15
-# capacity frontier (round-4 sweep, docs/measurements.md): 7.4 GB dense
-# runs clean in a bare process (120.7 GF/s at mc=48) but OOMs with the
-# bench worker's probe buffers also resident, and ~9.9 GB OOMs always —
-# the chip-usable working set is ~10 GB.  7 GB caps the budgeted
-# selection with ~2.5 GB headroom for build temps + call-time buffers
-MAX_DENSE_BYTES = 7 << 30
+# capacity frontier (round-4 sweep + A/B, docs/measurements.md): the
+# 7.45 GiB mc=48 selection measures 125.9 GF/s (chain) vs 106.7 for the
+# 6.99 GiB mc_eff=52 one (its residue runs 34 vs 25 ms), and ~9.9 GiB
+# OOMs always — the chip-usable working set is ~10 GB.  8 GiB cap +
+# 512 MB build chunks keeps build peak ≈ dense + 1.3 GB ≈ 8.8 GB
+MAX_DENSE_BYTES = 8 << 30
 
 # Above this histogram size the device-hist D2H (~15 MB/s relay) loses
 # to the O(nnz) host bincount when a host CSR exists (_panel_block_hist)
