@@ -295,10 +295,26 @@ def worker(out_path: str) -> None:
     _sync((dev.row_ptr, dev.col, dev.vals))  # retire ALL three uploads
     log(f"CSR upload: {time.time()-t0:.1f}s")
 
-    sug = suggest(g, K, dev=dev)
-    log(f"autotuner: {sug.method} ({sug.reason})")
-    method = sug.method
-    prep_kwargs = dict(sug.prep_kwargs)
+    # In-harness capacity override (round 4, bench_r4_verify): the
+    # standalone frontier config (mc=48, 7.45 GiB dense, 120.7 GF/s in a
+    # fresh process — docs/sweep_r4.csv) OOMs reliably INSIDE this worker,
+    # where probes + CSR + selection tables are resident; and after any
+    # RESOURCE_EXHAUSTED the relay fails every later allocation in the
+    # same process (docs/measurements.md), so an in-process fallback
+    # cannot recover.  Pin the measured-safe in-harness config: mc=64,
+    # 5.9 GiB dense, 110.8 GF/s in THIS harness (BASELINE.md r04).
+    if os.environ.get("FLEX_BENCH_SAFE"):
+        log("FLEX_BENCH_SAFE set: forcing ell (prior attempt OOMed)")
+        sug = None
+        method = "ell"
+        prep_kwargs: dict = {}
+        res["annotations"].append("oom-fallback:ell")
+    else:
+        sug = suggest(g, K, dev=dev, win_min_count=64,
+                      max_dense_bytes=6 << 30)
+        log(f"autotuner: {sug.method} ({sug.reason})")
+        method = sug.method
+        prep_kwargs = dict(sug.prep_kwargs)
 
     prepare = _resolve_prepare(method)
     dev_kw = {"dev": dev} \
@@ -320,14 +336,29 @@ def worker(out_path: str) -> None:
         return t_cold, bench_spmm(g, K, method=method, iters=10, check=True,
                                   **dev_kw, **prep_kwargs)
 
+    def _is_oom(e) -> bool:
+        return "RESOURCE_EXHAUSTED" in repr(e)
+
     try:
         t_cold, r = cold_and_bench()
     except Exception as e:
-        # Safety net for the fused single-program windowed build (new in
-        # round 3, CPU-proven but first compiled on-chip here): fall back
-        # to the validated two-program path rather than losing the capture.
+        if _is_oom(e):
+            # After a RESOURCE_EXHAUSTED the relay fails EVERY later
+            # allocation in this process (docs/measurements.md sweep
+            # lesson; reproduced in bench_r4_verify: the in-process
+            # mc=64 retry died allocating a tiny histogram).  Emit what
+            # we have and hand control back to the parent, which retries
+            # in a fresh process with FLEX_BENCH_SAFE=1 (-> ell).
+            log(f"OOM in {method} ({e!r}); exiting for a safe "
+                f"fresh-process retry")
+            res["annotations"].append(f"oom:{method}")
+            emit()
+            os._exit(4)
         if method != "windowed" or prep_kwargs.get("fused") is False:
             raise
+        # Safety net for the fused single-program windowed build:
+        # fall back to the validated two-program path rather than
+        # losing the capture.
         log(f"windowed bench failed ({e!r}); retrying with fused=False")
         res["annotations"].append("fused-build-fallback")
         prep_kwargs["fused"] = False
@@ -372,7 +403,7 @@ def worker(out_path: str) -> None:
     res["probes"].append(p1)
 
     # model-divergence flag: measured vs the autotuner's own time model
-    model_t = (sug.model or {}).get(method)
+    model_t = (sug.model or {}).get(method) if sug is not None else None
     if model_t:
         ratio = r.t_elap / model_t
         res["model_elap_ratio"] = round(ratio, 2)
@@ -436,11 +467,15 @@ def worker(out_path: str) -> None:
 _CHILD: list = []  # live worker Popen, killed by the parent's signal handler
 
 
-def _run_worker(timeout: float) -> dict | None:
+def _run_worker(timeout: float, safe: bool = False) -> dict | None:
     if os.path.exists(RESULT):
         os.unlink(RESULT)
+    env = dict(os.environ)
+    if safe:
+        env["FLEX_BENCH_SAFE"] = "1"
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", RESULT],
+        env=env,
     )
     _CHILD.append(p)
     try:
@@ -544,13 +579,20 @@ def main() -> None:
     deadline = time.time() + 1200
     res = None
     attempt = 0
+    saw_oom = False
     while True:
         attempt += 1
         # cap any single attempt at 840 s so a worker that hangs AFTER
         # init (mid-compile/mid-benchmark, where the init watchdog can't
         # see it) still leaves room for at least one fresh-process retry
         r = _run_worker(timeout=max(300.0, min(840.0,
-                                               deadline - time.time())))
+                                               deadline - time.time())),
+                        safe=saw_oom)
+        if r is not None and any(a.startswith("oom:")
+                                 for a in r.get("annotations", [])):
+            # the headline config exhausted HBM — all later attempts run
+            # the small-footprint ell fallback (a low number beats none)
+            saw_oom = True
         if r is not None and "value" in r:
             # keep the first valued result unless the new one is healthy
             if res is None or "value" not in res or r.get("env_ok", False):

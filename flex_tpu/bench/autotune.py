@@ -61,7 +61,7 @@ def _t_ell(degrees, k: int = 128) -> float:
 def suggest(
     g: CSRGraph, k: int = 128, tm: int = 128, hub_threshold: int = 512,
     win_tm: int = 256, win_W: int = 128, win_min_count: int = 48,
-    dev=None,
+    dev=None, max_dense_bytes: int | None = None,
 ) -> Suggestion:
     """Static time-model decision from format statistics (no device
     needed).  Candidates: xla (tiny graphs), band (contiguous windows),
@@ -100,7 +100,9 @@ def suggest(
     # HBM cap, window_select raises the count gate to the smallest value
     # that fits (greedy-optimal covered-nnz per byte) — this is what makes
     # windowed eligible at amazon scale on one chip
-    sel = window_select(g, dev=dev, max_dense_bytes=MAX_DENSE_BYTES,
+    if max_dense_bytes is None:
+        max_dense_bytes = MAX_DENSE_BYTES
+    sel = window_select(g, dev=dev, max_dense_bytes=max_dense_bytes,
                         **win_kwargs)
     if sel["coverage"] >= MIN_COVERAGE:
         n_win = sel["total_steps"] * sel["G"]

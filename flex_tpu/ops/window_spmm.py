@@ -84,7 +84,7 @@ _HIST_D2H_MAX_BYTES = 32 << 20
 # 3D A (XLA performs single-use DUS chains in place), so peak becomes
 # dense + 2·chunk instead of 2·dense.
 _A_CHUNK_TRIGGER_BYTES = 2 << 30
-_A_CHUNK_TARGET_BYTES = 512 << 20
+_A_CHUNK_TARGET_BYTES = 256 << 20
 
 
 def _plan_build_chunks(used, pstep0, total_steps, tm, W, g_step,

@@ -26,7 +26,7 @@ def run_main(bench, capsys, workers, monkeypatch):
     it = iter(workers)
     calls = []
 
-    def fake_worker(timeout):
+    def fake_worker(timeout, safe=False):
         calls.append(timeout)
         try:
             return next(it)
@@ -69,7 +69,7 @@ def test_degraded_value_kept_as_fallback(bench, capsys, monkeypatch):
     t = {"now": 0.0}
     monkeypatch.setattr(bench.time, "time", lambda: t["now"])
 
-    def advance(timeout):
+    def advance(timeout, safe=False):
         t["now"] += 1300.0  # two attempts fit the 2700 s budget
         return dict(bad)
 
@@ -84,7 +84,7 @@ def test_all_attempts_dead_reports_zero(bench, capsys, monkeypatch):
     t = {"now": 0.0}
     monkeypatch.setattr(bench.time, "time", lambda: t["now"])
 
-    def dead(timeout):
+    def dead(timeout, safe=False):
         t["now"] += 1300.0
         return None
 
@@ -103,7 +103,7 @@ def test_post_init_hang_still_gets_a_retry(bench, capsys, monkeypatch):
     calls = []
     good = {"value": 90.0, "env_ok": True}
 
-    def fake(timeout):
+    def fake(timeout, safe=False):
         calls.append(timeout)
         if len(calls) == 1:
             t["now"] += timeout  # hang: consumed the whole attempt budget
@@ -117,6 +117,28 @@ def test_post_init_hang_still_gets_a_retry(bench, capsys, monkeypatch):
     assert calls[0] <= 1800.0
     assert len(calls) == 2
     assert out["value"] == 90.0
+
+
+def test_oom_attempt_escalates_to_safe_mode(bench, capsys, monkeypatch):
+    """An OOM-annotated attempt (worker rc=4 path) must flip every later
+    attempt to safe mode (FLEX_BENCH_SAFE -> ell): after RESOURCE_EXHAUSTED
+    the same config would just OOM again (docs/measurements.md)."""
+    oom = {"annotations": ["oom:windowed"]}
+    good = {"value": 30.8, "env_ok": True, "method": "ell",
+            "annotations": ["oom-fallback:ell"]}
+    it = iter([dict(oom), dict(good)])
+    safes = []
+
+    def fake(timeout, safe=False):
+        safes.append(safe)
+        return next(it)
+
+    monkeypatch.setattr(bench, "_run_worker", fake)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert safes == [False, True]
+    assert out["value"] == 30.8
+    assert "oom-fallback:ell" in out["annotations"]
 
 
 def test_later_healthy_beats_earlier_degraded(bench, capsys, monkeypatch):
@@ -147,7 +169,7 @@ def test_sigterm_mid_attempt_still_prints_one_line(tmp_path):
         "spec = importlib.util.spec_from_file_location('bench_mod', %r)\n"
         "mod = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(mod)\n"
-        "def w(timeout):\n"
+        "def w(timeout, safe=False):\n"
         "    open(%r, 'w').write('in-attempt')\n"
         "    time.sleep(3600)\n"
         "mod._run_worker = w\n"
@@ -188,7 +210,7 @@ def test_sigterm_salvages_on_disk_result(tmp_path, monkeypatch):
         "mod = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(mod)\n"
         "mod.RESULT = %r\n"
-        "def w(timeout):\n"
+        "def w(timeout, safe=False):\n"
         "    open(%r, 'w').write('in-attempt')\n"
         "    time.sleep(3600)\n"
         "mod._run_worker = w\n"
