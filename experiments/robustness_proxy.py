@@ -17,6 +17,7 @@ Run on the chip:
 from __future__ import annotations
 
 import gc
+import sys
 import time
 
 import jax
@@ -83,14 +84,39 @@ def run_variant(tag, g, dev):
     return gf, sug.method
 
 
+def _gen_variant(seed: int, kw: dict):
+    """Generate + rbdeg-order one variant, cached to /tmp so the CPU gen
+    can run ahead of (and in parallel with) the TPU bench pass."""
+    import os
+
+    from flex_tpu.sparse.csr import CSRGraph
+
+    kw = dict(kw)
+    n, nnz = kw.pop("n"), kw.pop("nnz")
+    cache = f"/tmp/reddit_var_{seed}.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                                    name=f"reddit_var_{seed}", order="RBD")
+    g = bipartite_projection_graph(n, nnz, seed=seed,
+                                   name=f"reddit_var_{seed}", **kw)
+    g = reorder(g, "rbdeg", check=False)
+    np.savez(cache, row_ptr=np.asarray(g.row_ptr),
+             col=np.asarray(g.col), vals=np.asarray(g.vals))
+    return g
+
+
 def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     gfs = []
     for tag, kw, seed in VARIANTS:
+        if only == "--gen-only":
+            t0 = time.time()
+            _gen_variant(seed, kw)
+            print(f"[gen {tag}: {time.time()-t0:.0f}s]", flush=True)
+            continue
         t0 = time.time()
-        n, nnz = kw.pop("n"), kw.pop("nnz")
-        g = bipartite_projection_graph(n, nnz, seed=seed,
-                                       name=f"reddit_var_{seed}", **kw)
-        g = reorder(g, "rbdeg", check=False)
+        g = _gen_variant(seed, kw)
         print(f"[gen {tag}: {time.time()-t0:.0f}s, nnz={g.nnz}]",
               flush=True)
         dev = DeviceCSR.from_graph(g)
@@ -100,8 +126,23 @@ def main():
         gc.collect()
 
     # honest collapse: same size, no structure
-    g = uniform_graph(232_965, 23_446_803, seed=0)
-    g = reorder(g, "rbdeg", check=False)
+    import os
+
+    from flex_tpu.sparse.csr import CSRGraph
+
+    cache = "/tmp/reddit_var_uniform.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                                 name="uniform", order="RBD")
+    else:
+        g = uniform_graph(232_965, 23_446_803, seed=0)
+        g = reorder(g, "rbdeg", check=False)
+        np.savez(cache, row_ptr=np.asarray(g.row_ptr),
+                 col=np.asarray(g.col), vals=np.asarray(g.vals))
+    if only == "--gen-only":
+        print("[gen uniform done]", flush=True)
+        return
     dev = DeviceCSR.from_graph(g)
     _sync(dev.vals)
     gfs.append(run_variant("uniform (no structure)", g, dev)
