@@ -539,6 +539,17 @@ def main() -> None:
     import signal
 
     state: dict = {"res": None, "emitted": False}
+    t_start = time.time()
+
+    def _fresh_result() -> bool:
+        # only salvage a RESULT written by THIS capture's worker — a
+        # stale file from an earlier dev run must not masquerade as a
+        # fresh measurement (the per-attempt unlink in _run_worker covers
+        # mid-attempt kills; this covers a kill before attempt 1)
+        try:
+            return os.path.getmtime(RESULT) >= t_start
+        except OSError:
+            return False
 
     def _emit_now(signum=None, frame=None):
         if not state["emitted"]:
@@ -546,7 +557,7 @@ def main() -> None:
             res_now = state["res"]
             if (signum is not None
                     and (res_now is None or "value" not in res_now)
-                    and os.path.exists(RESULT)):
+                    and _fresh_result()):
                 # a mid-attempt kill: the worker emits incrementally, so a
                 # valid headline may already be on disk — salvage it
                 try:

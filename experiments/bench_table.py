@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from flex_tpu.bench.autotune import suggest
 from flex_tpu.bench.harness import _fmt, _resolve_prepare, _sync, \
-    bench_spmm, write_csv
+    bench_spmm
 from flex_tpu.sparse.csr import CSRGraph
 from flex_tpu.sparse.device import DeviceCSR
 
@@ -50,6 +50,33 @@ def load(name):
     d = np.load(f"/tmp/{name}_rbdeg.npz")
     return CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
                                 name=name, order="RBD")
+
+
+def _write_merged(results, path="docs/headline_table.csv"):
+    """write_csv, but keep existing rows for (graph, k) pairs not
+    re-measured in this run — a partial refresh (e.g. just pubmed after
+    a harness change) must not clobber the other graphs' rows."""
+    import csv
+    import os
+
+    new_rows = [r.row() for r in results]
+    fresh = {(row["graph"], str(row["k"])) for row in new_rows}
+    old_rows = []
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            old_rows = [row for row in csv.DictReader(f)
+                        if (row["graph"], str(row["k"])) not in fresh]
+    keys: list[str] = []
+    for row in old_rows + new_rows:
+        for key in row:
+            if key not in keys:
+                keys.append(key)
+    allr = sorted(old_rows + new_rows,
+                  key=lambda r: (int(r["nnz"]), int(r["k"])))
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, restval="")
+        w.writeheader()
+        w.writerows(allr)
 
 
 def main():
@@ -84,12 +111,12 @@ def main():
                 results.append(r)
                 # incremental write: a timeout mid-run still leaves the
                 # artifact with every completed row
-                write_csv(results, "docs/headline_table.csv")
+                _write_merged(results)
             except Exception as e:
                 print(f"{name} k={k}: FAILED {type(e).__name__}: {e}",
                       flush=True)
         del dev
-    write_csv(results, "docs/headline_table.csv")
+    _write_merged(results)
     print("wrote docs/headline_table.csv", flush=True)
 
 

@@ -51,7 +51,13 @@ VARIANTS = [
 
 
 def run_variant(tag, g, dev):
-    sug = suggest(g, K, dev=dev)
+    # In-harness-safe config (docs/measurements.md round-4): the mc=48 /
+    # 8 GiB frontier OOMs whenever the process holds extra residency
+    # (measured again here: the very first variant died at plan build).
+    # The study compares variants, so one fixed safe config is also the
+    # methodologically right choice.
+    sug = suggest(g, K, dev=dev, win_min_count=64,
+                  max_dense_bytes=6 << 30)
     kw = dict(sug.prep_kwargs)
     if sug.method == "windowed":
         plan = prepare_windowed(g, dev=dev, **kw)
@@ -106,26 +112,7 @@ def _gen_variant(seed: int, kw: dict):
     return g
 
 
-def main():
-    only = sys.argv[1] if len(sys.argv) > 1 else None
-    gfs = []
-    for tag, kw, seed in VARIANTS:
-        if only == "--gen-only":
-            t0 = time.time()
-            _gen_variant(seed, kw)
-            print(f"[gen {tag}: {time.time()-t0:.0f}s]", flush=True)
-            continue
-        t0 = time.time()
-        g = _gen_variant(seed, kw)
-        print(f"[gen {tag}: {time.time()-t0:.0f}s, nnz={g.nnz}]",
-              flush=True)
-        dev = DeviceCSR.from_graph(g)
-        _sync(dev.vals)
-        gfs.append(run_variant(tag, g, dev) + (tag,))
-        del dev, g
-        gc.collect()
-
-    # honest collapse: same size, no structure
+def _load_uniform():
     import os
 
     from flex_tpu.sparse.csr import CSRGraph
@@ -133,25 +120,67 @@ def main():
     cache = "/tmp/reddit_var_uniform.npz"
     if os.path.exists(cache):
         d = np.load(cache)
-        g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
-                                 name="uniform", order="RBD")
+        return CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
+                                    name="uniform", order="RBD")
+    g = uniform_graph(232_965, 23_446_803, seed=0)
+    g = reorder(g, "rbdeg", check=False)
+    np.savez(cache, row_ptr=np.asarray(g.row_ptr),
+             col=np.asarray(g.col), vals=np.asarray(g.vals))
+    return g
+
+
+def _run_one(idx: int):
+    """One variant in this process (index into VARIANTS, or len() for
+    the uniform collapse row).  One process per variant because a TPU
+    OOM poisons every later allocation in the process
+    (docs/measurements.md round-4 sweep lessons)."""
+    if idx == len(VARIANTS):
+        tag, g = "uniform (no structure)", _load_uniform()
     else:
-        g = uniform_graph(232_965, 23_446_803, seed=0)
-        g = reorder(g, "rbdeg", check=False)
-        np.savez(cache, row_ptr=np.asarray(g.row_ptr),
-                 col=np.asarray(g.col), vals=np.asarray(g.vals))
-    if only == "--gen-only":
-        print("[gen uniform done]", flush=True)
-        return
+        tag, kw, seed = VARIANTS[idx]
+        g = _gen_variant(seed, kw)
     dev = DeviceCSR.from_graph(g)
     _sync(dev.vals)
-    gfs.append(run_variant("uniform (no structure)", g, dev)
-               + ("uniform",))
+    run_variant(tag, g, dev)
 
-    vals = [gf for gf, m, t in gfs if t != "uniform"]
-    print(f"\nheadline family: min={min(vals):.1f} max={max(vals):.1f} "
-          f"GF/s (spread {(max(vals)-min(vals))/max(vals)*100:.0f}%)",
-          flush=True)
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only == "--one":
+        _run_one(int(sys.argv[2]))
+        return
+    if only == "--gen-only":
+        for tag, kw, seed in VARIANTS:
+            t0 = time.time()
+            _gen_variant(seed, kw)
+            print(f"[gen {tag}: {time.time()-t0:.0f}s]", flush=True)
+        _load_uniform()
+        print("[gen uniform done]", flush=True)
+        return
+
+    # driver mode: one subprocess per variant, collect the printed rows
+    import os
+    import re
+    import subprocess
+
+    gfs = []
+    for idx in range(len(VARIANTS) + 1):
+        cmd = [sys.executable, __file__, "--one", str(idx)]
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800, env=os.environ)
+        sys.stdout.write(p.stdout)
+        if p.returncode != 0:
+            print(f"[variant {idx} rc={p.returncode}] "
+                  f"{p.stderr.strip().splitlines()[-1] if p.stderr else ''}",
+                  flush=True)
+            continue
+        m = re.search(r"gf=([0-9.]+)", p.stdout)
+        if m and idx < len(VARIANTS):
+            gfs.append(float(m.group(1)))
+    if gfs:
+        print(f"\nheadline family: min={min(gfs):.1f} max={max(gfs):.1f} "
+              f"GF/s (spread {(max(gfs)-min(gfs))/max(gfs)*100:.0f}%)",
+              flush=True)
 
 
 if __name__ == "__main__":

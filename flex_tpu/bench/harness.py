@@ -109,6 +109,57 @@ def _time_device(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float
     return (time.perf_counter() - t0) / iters
 
 
+def _chain_time(plan, m: int, n: int, k: int, lo: int = 4,
+                hi: int = 24) -> float:
+    """Marginal per-call cost with a TRUE serial dependency chain:
+    iteration i+1 consumes iteration i's output inside one jitted
+    fori_loop, delta-timed at two chain lengths.  Immune to both the
+    per-dispatch relay latency (~3 ms round trip — which swamps small
+    graphs: pubmed measures 3.7 ms/call dispatched but 127 µs chained,
+    docs/measurements.md round-4) and the relay's non-serialization of
+    independent dispatches.  Plans are pytrees: passed as an argument,
+    never closed over."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(p, B0, *, steps):
+        def body(i, y):
+            out = p(y) * 0.01
+            return out[:n] if m >= n else jnp.pad(
+                out, ((0, n - m), (0, 0)))
+
+        return jax.lax.fori_loop(0, steps, body, B0)
+
+    B0 = jnp.zeros((n, k), jnp.float32)
+
+    def delta(lo_, hi_):
+        for _ in range(3):
+            ts = {}
+            for steps in (lo_, hi_):
+                _sync(chain(plan, B0, steps=steps))  # compile + warm
+                t0 = time.perf_counter()
+                _sync(chain(plan, B0, steps=steps))
+                ts[steps] = time.perf_counter() - t0
+            if ts[hi_] > ts[lo_]:  # sane (the relay can swallow a sync)
+                return (ts[hi_] - ts[lo_]) / (hi_ - lo_)
+        return float("nan")
+
+    t = delta(lo, hi)
+    # µs-scale calls leave the 20-iter delta inside the relay's ms-scale
+    # sync jitter (pubmed measured 127 vs 424 µs run-to-run); stretch the
+    # chain until the signal is ≥20 ms of device time, capped at 2048
+    # iterations (big graphs already clear the bar at the default hi).
+    if t == t and t * (hi - lo) < 0.020:
+        hi2 = lo + min(2048, max(hi - lo, int(0.020 / max(t, 1e-7))))
+        t2 = delta(lo, hi2)
+        if t2 == t2:
+            return t2
+    return t
+
+
 def bench_spmm(
     g: CSRGraph,
     k: int,
@@ -119,6 +170,7 @@ def bench_spmm(
     check: bool = True,
     iters: int = 10,
     trace_dir: str | None = None,
+    chain: bool | None = None,
     **prep_kwargs,
 ) -> BenchResult:
     import jax.numpy as jnp
@@ -153,6 +205,23 @@ def bench_spmm(
 
     B_dev = jnp.asarray(B)
     t_elap = _time_device(plan, B_dev, iters=iters)
+
+    # Chained ground truth: default ON for the small-graph regime, where
+    # the per-dispatch relay latency dominates t_elap and the dispatched
+    # average is transport, not kernel (docs/measurements.md round-4
+    # small-graph breakdown; reference small graphs time kernel-only via
+    # cudaEvent, flex.cu:5047-5067).
+    if chain is None:
+        chain = g.nnz < 5_000_000 and method != "xla"
+    if chain:
+        try:
+            t_ch = _chain_time(plan, g.m, g.n, k)
+            if t_ch == t_ch:  # not NaN
+                extra["t_chain_us"] = round(t_ch * 1e6, 1)
+                extra["gflops_chain"] = round(
+                    2 * g.nnz * k / t_ch / 1e9, 1)
+        except Exception as e:  # chain must never kill a sweep row
+            extra["chain_error"] = str(e)[:120]
 
     # Format statistics (coverage, pad ratio, bucket shapes, …) become
     # report columns — the reference's per-config stats_collect columns.

@@ -201,22 +201,26 @@ def test_sigterm_salvages_on_disk_result(tmp_path, monkeypatch):
     import time as _time
 
     result = tmp_path / "result.json"
-    result.write_text(json.dumps({"value": 88.5, "env_ok": True}))
+    # the worker writes RESULT *during* the attempt (a pre-existing file
+    # from an earlier run is stale and must NOT be salvaged — covered by
+    # test_sigterm_mid_attempt_still_prints_one_line's leftover-file
+    # immunity via bench.main's mtime guard)
     script = tmp_path / "drive.py"
     script.write_text(
         "import sys; sys.path.insert(0, %r)\n"
-        "import importlib.util, time\n"
+        "import importlib.util, time, json\n"
         "spec = importlib.util.spec_from_file_location('bench_mod', %r)\n"
         "mod = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(mod)\n"
         "mod.RESULT = %r\n"
         "def w(timeout, safe=False):\n"
+        "    json.dump({'value': 88.5, 'env_ok': True}, open(%r, 'w'))\n"
         "    open(%r, 'w').write('in-attempt')\n"
         "    time.sleep(3600)\n"
         "mod._run_worker = w\n"
         "mod.main()\n"
         % (os.getcwd(), os.path.abspath("bench.py"), str(result),
-           str(tmp_path / "ready")))
+           str(result), str(tmp_path / "ready")))
     p = subprocess.Popen([sys.executable, str(script)],
                          stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     for _ in range(300):

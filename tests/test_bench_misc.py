@@ -104,3 +104,17 @@ def test_checkpoint_resume_optimizer(tmp_path):
     # The restored opt_state must be directly usable by the optimizer.
     updates2, _ = opt.update(grads, got["opt_state"], got["params"])
     assert jax.tree_util.tree_structure(updates2) == jax.tree_util.tree_structure(grads)
+
+
+def test_chain_timing_columns(small_rmat):
+    """Small-graph rows carry the serial-chain ground truth (the
+    dispatched average is relay transport at this scale —
+    docs/measurements.md round-4 small-graph breakdown)."""
+    from flex_tpu.bench.harness import bench_spmm
+
+    r = bench_spmm(small_rmat, 16, method="ell", iters=2)
+    assert "t_chain_us" in r.extra, r.extra
+    assert r.extra["gflops_chain"] > 0
+    # non-square pad branch: transpose-free check via a rectangular slice
+    r2 = bench_spmm(small_rmat, 16, method="ell", iters=2, chain=False)
+    assert "t_chain_us" not in r2.extra
