@@ -131,7 +131,15 @@ def suggest(
                    + n_p * tm * u_avg * k * 2 / MXU_HIGHEST
                    + FIXED_OVERHEAD)
         reuse = g.nnz / max(gathered, 1)
-        if reuse >= 2.0:
+        # Eligibility is gated to the regime the model is VALIDATED in
+        # (experiments/panel_regime.py, on chip): at m=50K hub graphs the
+        # model is accurate and panel genuinely wins (5.3 ms vs windowed
+        # 7.4 ms, 176.7 GF/s); at m=200K it measured 5-10x its model
+        # (288-358 ms vs predicted 28-69 ms) while windowed landed near
+        # its own prediction — trusting the model there risks an 11x
+        # mis-route (case 0: panel 28 vs windowed 27 ms predicted, 288
+        # vs 26 ms measured).
+        if reuse >= 2.0 and g.m <= 100_000:
             model["panel"] = t_panel
 
     method = min(model, key=model.get)
