@@ -233,6 +233,29 @@ def _chain_elap(plan, n, k, lo=3, hi=9) -> float:
     return float("nan")  # caller skips the cross-check, annotated
 
 
+def _probe_sub(tag: str, timeout: float = 300.0) -> dict | None:
+    """Run the pre-probe in a short-lived subprocess (own TPU client, own
+    heap) and return its dict, or None if it failed/hung.  Called BEFORE
+    the worker initializes its own backend — one TPU process at a time."""
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe", tag],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        log("[probe-sub] timed out")
+        return None
+    for line in reversed(p.stdout.strip().splitlines() or []):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    log(f"[probe-sub] rc={p.returncode}, no JSON on stdout; stderr tail: "
+        f"{p.stderr.strip().splitlines()[-1] if p.stderr.strip() else ''}")
+    return None
+
+
 def worker(out_path: str) -> None:
     t_start = time.time()
     import threading
@@ -242,6 +265,33 @@ def worker(out_path: str) -> None:
     # UNAVAILABLE raises, a hang would otherwise eat the parent's whole
     # worker timeout before the first retry.  Healthy init is 10-30 s;
     # fire at 180 s and exit so the parent can try a fresh process.
+    res: dict = {"annotations": [], "probes": []}
+
+    def emit():
+        # atomic: a timeout-kill mid-write must never leave truncated
+        # JSON (the parent would lose an already-valid headline)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(res, f)
+        os.replace(tmp, out_path)
+
+    # Capture level (escalated by the parent on OOM): 0 = frontier
+    # windowed config (mc=48 / 8 GiB cap — 120.7 GF/s in a fresh
+    # process), 1 = measured-safe in-harness config (mc=64 / 6 GiB),
+    # 2 = small-footprint ell.
+    level = 2 if os.environ.get("FLEX_BENCH_SAFE") else \
+        int(os.environ.get("FLEX_BENCH_LEVEL", "0"))
+    res["capture_level"] = level
+
+    # Pre-probe in its OWN process (own heap, own TPU client), run
+    # BEFORE this worker attaches its backend — one TPU process at a
+    # time, and the probe's device buffers (128 MB stream array, ~1 GB
+    # gather take-temp) must not fragment the heap the frontier build
+    # carves its 7.45 GiB dense array from.
+    p0 = _probe_sub("pre")
+    if p0 is None:
+        res["annotations"].append("pre-probe-subprocess-failed")
+
     init_done = threading.Event()
 
     def _init_watchdog():
@@ -269,20 +319,12 @@ def worker(out_path: str) -> None:
     from flex_tpu.bench.harness import _resolve_prepare, _sync, bench_spmm
     from flex_tpu.sparse.device import DeviceCSR
 
-    res: dict = {"annotations": [], "probes": []}
-
-    def emit():
-        # atomic: a timeout-kill mid-write must never leave truncated
-        # JSON (the parent would lose an already-valid headline)
-        tmp = out_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(res, f)
-        os.replace(tmp, out_path)
-
     g = _load_graph()
     log(f"graph ready at {time.time()-t_start:.0f}s: {g}")
 
-    p0 = _probe("pre")
+    if p0 is None:
+        p0 = _probe("pre")  # in-process fallback (fragmentation risk
+        # accepted: levels >=1 use the small configs anyway)
     res["probes"].append(p0)
     if not p0["ok"]:
         res["annotations"].append("degraded-environment:pre-probe")
@@ -295,16 +337,21 @@ def worker(out_path: str) -> None:
     _sync((dev.row_ptr, dev.col, dev.vals))  # retire ALL three uploads
     log(f"CSR upload: {time.time()-t0:.1f}s")
 
-    # In-harness capacity override (round 4, bench_r4_verify): the
-    # standalone frontier config (mc=48, 7.45 GiB dense, 120.7 GF/s in a
-    # fresh process — docs/sweep_r4.csv) OOMs reliably INSIDE this worker,
-    # where probes + CSR + selection tables are resident; and after any
+    # Config ladder (round 4): level 0 is the pinned measured-safe
+    # in-harness config (mc=64 / 5.9 GiB dense, 110.8 GF/s in THIS
+    # harness, BASELINE.md r04); level >=1 is small-footprint ell.  The
+    # mc=48/8 GiB standalone frontier was tried as level 0 and measured
+    # out: at a 7.996 GB dense + ~2.3 GB build temps its peak rides the
+    # ~10 GB edge, so the fit is allocator-luck (an identical fresh
+    # process built it once and OOMed once, 2026-08-18), and the
+    # capped-7 GiB midpoint measured SLOWER than mc=64 on the same day
+    # (58.7 ms @ mc_eff=52 vs 54.9 ms) — the frontier's +6% is within
+    # chip-day variance while its OOM risk is not.  After any
     # RESOURCE_EXHAUSTED the relay fails every later allocation in the
-    # same process (docs/measurements.md), so an in-process fallback
-    # cannot recover.  Pin the measured-safe in-harness config: mc=64,
-    # 5.9 GiB dense, 110.8 GF/s in THIS harness (BASELINE.md r04).
-    if os.environ.get("FLEX_BENCH_SAFE"):
-        log("FLEX_BENCH_SAFE set: forcing ell (prior attempt OOMed)")
+    # same process (docs/measurements.md), so escalation is always a
+    # fresh worker.
+    if level >= 1:
+        log(f"capture level {level}: forcing ell (prior attempt OOMed)")
         sug = None
         method = "ell"
         prep_kwargs: dict = {}
@@ -312,7 +359,7 @@ def worker(out_path: str) -> None:
     else:
         sug = suggest(g, K, dev=dev, win_min_count=64,
                       max_dense_bytes=6 << 30)
-        log(f"autotuner: {sug.method} ({sug.reason})")
+        log(f"capture level 0 (mc=64 pinned): {sug.method} ({sug.reason})")
         method = sug.method
         prep_kwargs = dict(sug.prep_kwargs)
 
@@ -467,12 +514,11 @@ def worker(out_path: str) -> None:
 _CHILD: list = []  # live worker Popen, killed by the parent's signal handler
 
 
-def _run_worker(timeout: float, safe: bool = False) -> dict | None:
+def _run_worker(timeout: float, level: int = 0) -> dict | None:
     if os.path.exists(RESULT):
         os.unlink(RESULT)
     env = dict(os.environ)
-    if safe:
-        env["FLEX_BENCH_SAFE"] = "1"
+    env["FLEX_BENCH_LEVEL"] = str(level)
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", RESULT],
         env=env,
@@ -590,7 +636,7 @@ def main() -> None:
     deadline = time.time() + 1200
     res = None
     attempt = 0
-    saw_oom = False
+    level = 0
     while True:
         attempt += 1
         # cap any single attempt at 840 s so a worker that hangs AFTER
@@ -598,12 +644,14 @@ def main() -> None:
         # see it) still leaves room for at least one fresh-process retry
         r = _run_worker(timeout=max(300.0, min(840.0,
                                                deadline - time.time())),
-                        safe=saw_oom)
+                        level=level)
         if r is not None and any(a.startswith("oom:")
                                  for a in r.get("annotations", [])):
-            # the headline config exhausted HBM — all later attempts run
-            # the small-footprint ell fallback (a low number beats none)
-            saw_oom = True
+            # the config exhausted HBM — escalate the ladder: pinned
+            # mc=64 -> small-footprint ell (a low number beats none); an
+            # OOM-poisoned process can't recover, so every escalation is
+            # a fresh worker
+            level = min(level + 1, 1)
         if r is not None and "value" in r:
             # keep the first valued result unless the new one is healthy
             if res is None or "value" not in res or r.get("env_ok", False):
@@ -633,8 +681,26 @@ def main() -> None:
     _emit_now()
 
 
+def probe_main(tag: str) -> None:
+    """--probe mode: run one calibration probe in THIS process and print
+    its dict as one JSON line.  Run as a short-lived subprocess by the
+    worker so the probe's device buffers (128 MB stream array + ~1 GB
+    gather take-temp) never touch the worker's heap — HBM fragmentation
+    from the pre-probe is a suspect in the frontier config's in-harness
+    OOM (docs/measurements.md round-4)."""
+    from flex_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    log(f"probe backend: {jax.devices()}")
+    print(json.dumps(_probe(tag)), flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
         worker(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--probe":
+        probe_main(sys.argv[2])
     else:
         main()

@@ -26,7 +26,7 @@ def run_main(bench, capsys, workers, monkeypatch):
     it = iter(workers)
     calls = []
 
-    def fake_worker(timeout, safe=False):
+    def fake_worker(timeout, level=0):
         calls.append(timeout)
         try:
             return next(it)
@@ -69,7 +69,7 @@ def test_degraded_value_kept_as_fallback(bench, capsys, monkeypatch):
     t = {"now": 0.0}
     monkeypatch.setattr(bench.time, "time", lambda: t["now"])
 
-    def advance(timeout, safe=False):
+    def advance(timeout, level=0):
         t["now"] += 1300.0  # two attempts fit the 2700 s budget
         return dict(bad)
 
@@ -84,7 +84,7 @@ def test_all_attempts_dead_reports_zero(bench, capsys, monkeypatch):
     t = {"now": 0.0}
     monkeypatch.setattr(bench.time, "time", lambda: t["now"])
 
-    def dead(timeout, safe=False):
+    def dead(timeout, level=0):
         t["now"] += 1300.0
         return None
 
@@ -103,7 +103,7 @@ def test_post_init_hang_still_gets_a_retry(bench, capsys, monkeypatch):
     calls = []
     good = {"value": 90.0, "env_ok": True}
 
-    def fake(timeout, safe=False):
+    def fake(timeout, level=0):
         calls.append(timeout)
         if len(calls) == 1:
             t["now"] += timeout  # hang: consumed the whole attempt budget
@@ -119,24 +119,25 @@ def test_post_init_hang_still_gets_a_retry(bench, capsys, monkeypatch):
     assert out["value"] == 90.0
 
 
-def test_oom_attempt_escalates_to_safe_mode(bench, capsys, monkeypatch):
-    """An OOM-annotated attempt (worker rc=4 path) must flip every later
-    attempt to safe mode (FLEX_BENCH_SAFE -> ell): after RESOURCE_EXHAUSTED
-    the same config would just OOM again (docs/measurements.md)."""
-    oom = {"annotations": ["oom:windowed"]}
+def test_oom_attempt_escalates_the_config_ladder(bench, capsys, monkeypatch):
+    """An OOM-annotated attempt (worker rc=4 path) must escalate each
+    later attempt down the ladder (pinned mc=64 -> ell): after
+    RESOURCE_EXHAUSTED the same config in the same footprint would just
+    OOM again (docs/measurements.md)."""
+    oom0 = {"annotations": ["oom:windowed"], "capture_level": 0}
     good = {"value": 30.8, "env_ok": True, "method": "ell",
-            "annotations": ["oom-fallback:ell"]}
-    it = iter([dict(oom), dict(good)])
-    safes = []
+            "annotations": ["oom-fallback:ell"], "capture_level": 1}
+    it = iter([dict(oom0), dict(good)])
+    levels = []
 
-    def fake(timeout, safe=False):
-        safes.append(safe)
+    def fake(timeout, level=0):
+        levels.append(level)
         return next(it)
 
     monkeypatch.setattr(bench, "_run_worker", fake)
     bench.main()
     out = json.loads(capsys.readouterr().out.strip())
-    assert safes == [False, True]
+    assert levels == [0, 1]
     assert out["value"] == 30.8
     assert "oom-fallback:ell" in out["annotations"]
 
@@ -169,7 +170,7 @@ def test_sigterm_mid_attempt_still_prints_one_line(tmp_path):
         "spec = importlib.util.spec_from_file_location('bench_mod', %r)\n"
         "mod = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(mod)\n"
-        "def w(timeout, safe=False):\n"
+        "def w(timeout, level=0):\n"
         "    open(%r, 'w').write('in-attempt')\n"
         "    time.sleep(3600)\n"
         "mod._run_worker = w\n"
@@ -213,7 +214,7 @@ def test_sigterm_salvages_on_disk_result(tmp_path, monkeypatch):
         "mod = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(mod)\n"
         "mod.RESULT = %r\n"
-        "def w(timeout, safe=False):\n"
+        "def w(timeout, level=0):\n"
         "    json.dump({'value': 88.5, 'env_ok': True}, open(%r, 'w'))\n"
         "    open(%r, 'w').write('in-attempt')\n"
         "    time.sleep(3600)\n"
