@@ -233,7 +233,7 @@ def _chain_elap(plan, n, k, lo=3, hi=9) -> float:
     return float("nan")  # caller skips the cross-check, annotated
 
 
-def _probe_sub(tag: str, timeout: float = 300.0) -> dict | None:
+def _probe_sub(tag: str, timeout: float = 180.0) -> dict | None:
     """Run the pre-probe in a short-lived subprocess (own TPU client, own
     heap) and return its dict, or None if it failed/hung.  Called BEFORE
     the worker initializes its own backend — one TPU process at a time."""
@@ -591,9 +591,12 @@ def main() -> None:
         # only salvage a RESULT written by THIS capture's worker — a
         # stale file from an earlier dev run must not masquerade as a
         # fresh measurement (the per-attempt unlink in _run_worker covers
-        # mid-attempt kills; this covers a kill before attempt 1)
+        # mid-attempt kills; this covers a kill before attempt 1).  The
+        # 5 s slack absorbs the kernel's coarse mtime clock lagging
+        # time.time() by a few ms (a write microseconds after t_start
+        # must count as fresh; a genuinely stale file is minutes old).
         try:
-            return os.path.getmtime(RESULT) >= t_start
+            return os.path.getmtime(RESULT) >= t_start - 5.0
         except OSError:
             return False
 
