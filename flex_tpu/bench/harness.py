@@ -384,10 +384,18 @@ def sweep(
 
 def _fmt(r: BenchResult) -> str:
     err = f"err={r.check.err_frac:.2e}" if r.check else r.extra.get("error", "")
+    # Serial-chain intrinsic rate, when measured: on small graphs the
+    # dispatched average is relay transport, not kernel time — the chain
+    # column is the number library users should read (the reference's
+    # cudaEvent kernel-only timing, flex.cu:5047-5067).
+    chain = ""
+    if "gflops_chain" in r.extra:
+        chain = (f" chain={r.extra['gflops_chain']:.1f} GF/s"
+                 f" ({r.extra['t_chain_us']:.0f}us/call)")
     return (
         f"{r.graph:>14s} {r.order:>4s} {r.method:>6s} k={r.k:<4d} "
         f"tPre={r.t_pre*1e3:8.1f}ms tElap={r.t_elap*1e3:8.3f}ms "
-        f"{r.gflops:8.1f} GF/s pre/elap={r.pre_ratio:8.2f} {err}"
+        f"{r.gflops:8.1f} GF/s pre/elap={r.pre_ratio:8.2f} {err}{chain}"
     )
 
 

@@ -169,17 +169,22 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
     static_argnames=("m", "max_gather_rows", "out_rows", "b_dtype"),
 )
 def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
-              b_dtype="float32"):
+              b_dtype="float32", into=None):
     """buckets: tuple of (cols [N,w] i32, vals [N,w] f32), one per width.
     chunk_row: int32[total_chunks] output row per chunk (bucket-major order).
     b_dtype: gather-source dtype. "bfloat16" is the fast inference mode —
       bf16 row gathers run ~3x faster on this hardware
       (docs/measurements.md) at ~1e-3 relative error; accumulation stays
       f32 either way.
+    into: optional (out_rows, k) f32 accumulator the chunk partials are
+      scatter-added into directly (the hybrid passes its dense half here:
+      one scatter into dense replaces scatter-into-zeros + full-m add,
+      saving an (m, 128) read+write per call).
     """
     k = B.shape[1]
     if not buckets:  # zero-nnz graph
-        return jnp.zeros((m, k), jnp.float32)
+        return into if into is not None \
+            else jnp.zeros((m, k), jnp.float32)
     if b_dtype != "float32":
         B = B.astype(b_dtype)
     # Sub-128-lane layouts are pathological on TPU (k=32 measured 19x
@@ -212,6 +217,13 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
                 (v[:, :, None] * Bg.astype(jnp.float32)).sum(axis=1)
             )
     partial = jnp.concatenate(parts, axis=0)
+    if into is not None:
+        if into.shape != (out_rows, kp):
+            raise ValueError(
+                f"into shape {into.shape} != ({out_rows}, {kp}); the "
+                f"caller must pre-pad its accumulator to the gather "
+                f"lane width")
+        return into.at[chunk_row].add(partial)
     out = jnp.zeros((out_rows, kp), jnp.float32).at[chunk_row].add(partial)
     if kp != k:
         # stop XLA sinking the final slice back through the chain (it
@@ -230,11 +242,11 @@ class EllPlan:
     max_gather_rows: int = 2 * 1024 * 1024
     b_dtype: str = "float32"
 
-    def __call__(self, B) -> jax.Array:
+    def __call__(self, B, into=None) -> jax.Array:
         return _ell_spmm(
             self.buckets, self.chunk_row, B, m=self.m,
             max_gather_rows=self.max_gather_rows,
-            out_rows=self.m, b_dtype=self.b_dtype,
+            out_rows=self.m, b_dtype=self.b_dtype, into=into,
         )
 
     # Registered as a pytree (see bottom of file) so jitted callers can take

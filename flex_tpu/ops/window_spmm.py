@@ -968,7 +968,10 @@ def _windowed_call(plan: "WindowedPlan", B):
         dense = cat[plan.row_gather][: plan.m]
     else:
         dense = jnp.zeros((plan.m, kp), jnp.float32)
-    full = dense if plan.ell.nnz == 0 else dense + plan.ell(B)
+    # residue partials scatter-add straight into the dense half (saves
+    # the scatter-into-zeros + full-m add round trip, one (m, 128)
+    # HBM read+write per call)
+    full = dense if plan.ell.nnz == 0 else plan.ell(B, into=dense)
     if kp != k:
         # stop XLA sinking the slice back through the chain (it would
         # narrow the lanes again and undo the padding)

@@ -133,7 +133,11 @@ class ShardedWindowedPlan:
                 )
                 # residue under the SAME jit (the single-chip hybrid runs
                 # one program too): one dispatch, and XLA can overlap the
-                # independent dense and gather chains
+                # independent dense and gather chains.  (The single-chip
+                # hybrid scatters partials straight into dense via
+                # ``into=``; here the residue is a ShardedEllPlan whose
+                # per-shard partials combine inside its own shard_map, so
+                # the full-m add stays.)
                 return dense + ell(B) if has_res else dense
 
             self.fn = fn
