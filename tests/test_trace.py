@@ -43,3 +43,40 @@ def test_bench_spmm_trace_columns(tmp_path):
     assert r.check.ok
     assert r.extra.get("trace_device_ms", 0) > 0
     assert "trace_vs_model" in r.extra
+
+
+def test_classify_op():
+    from flex_tpu.utils.trace import classify_op
+
+    assert classify_op("gather.123") == "gather"
+    assert classify_op("dynamic-update-slice-scatter.4") == "scatter"
+    assert classify_op("custom-call.7") == "dot"
+    assert classify_op("loop_add_fusion.2") == "other"
+
+
+def test_standing_columns(tmp_path):
+    """VERDICT r04 item 8: fmt pad ratio + per-op-class trace time are
+    STANDING columns — present in every windowed sweep row's dict, the
+    CLI one-liner, and the CSV."""
+    from flex_tpu.bench.harness import bench_spmm, write_csv, _fmt
+    from flex_tpu.io.synth import community_graph
+    from flex_tpu.reorder import reorder
+
+    g = reorder(community_graph(1024, 24_000, n_comm=4, seed=0),
+                "rbdeg", check=False)
+    r = bench_spmm(g, 16, method="windowed", iters=2, trace=True,
+                   tm=128, min_count=2)
+    assert r.check.ok
+    row = r.row()
+    # format-inflation counters (the Imb% counterpart)
+    assert row["fmt_pad_ratio"] >= 1.0
+    assert 0 < row["fmt_step_fill"] <= 1.0
+    assert 0 < row["fmt_dense_occ"] <= 1.0
+    # per-op-class measured trace time
+    assert row.get("trace_device_ms", 0) > 0
+    line = _fmt(r)
+    assert "pad=" in line and "trace=" in line
+    p = tmp_path / "rows.csv"
+    write_csv([r], str(p))
+    hdr = p.read_text().splitlines()[0]
+    assert "fmt_pad_ratio" in hdr and "trace_device_ms" in hdr
