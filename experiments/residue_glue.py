@@ -1,4 +1,4 @@
-"""Residue-chain glue itemization (round-4 open lever #1).
+"""Residue-chain glue itemization (round-4 open lever #1 / VERDICT r04 #2).
 
 At the capture config (reddit_posts, mc=64, 6 GiB dense cap) the
 residue+combine half occupies ~34.7 ms of the 54.2 ms hybrid call, vs
@@ -8,13 +8,21 @@ This itemizes that glue with residue-only serial chains (the pubmed
 small-graph methodology, immune to the relay's dispatch floor and
 non-serialization), component by component:
 
-1. full hybrid call          (ground truth)
-2. residue ELL, as shipped   (gather + mul-reduce + concat + scatter)
-3. gather+mul-reduce only    (parts reduced straight to a k-vector;
-                              no concat materialization, no scatter)
-4. gather+mul-reduce+concat  (adds the concat materialization)
-5. scatter-add only          (fixed partial, the .at[chunk_row].add)
-6. dense half only           (for the complement)
+1.  full hybrid call          (ground truth)
+2.  residue ELL, standalone   (gather + mul-reduce + concat + scatter
+                               into zeros + slice)
+2b. residue ELL into=live     (the SHIPPED combine: scatter straight
+                               into a live (m,128) accumulator)
+3.  gather+mul-reduce only    (parts reduced straight to a k-vector;
+                               no concat materialization, no scatter)
+3b. gather+row-reduce only    (drops the value multiply too)
+4.  gather+mul-reduce+concat  (adds the concat materialization)
+5.  scatter-add only          (fixed partial, into zeros AND into live)
+6.  dense half only           (for the complement)
+
+All jitted chains take the bucket/plan arrays as ARGUMENTS (registered
+pytrees) — closing over them bakes GBs of constants into the executable
+(CLAUDE.md; the documented 132 s-compile / HTTP 413 failure mode).
 
 Reference analog: per-warp clock itemization, flex.cu:5087-5132.
 
@@ -46,19 +54,20 @@ def _load_graph():
     return bench._load_graph()
 
 
-def chain_time(fn, B0, label, lo=2, hi=8, min_signal=0.04):
-    """Serial-chain delta timing; stretch until >=min_signal s of device
-    time (reddit-scale calls are ~10-50 ms, so hi=8 already clears it)."""
+def chain_time(fn, ops, B0, label, lo=2, hi=8, min_signal=0.04):
+    """Serial-chain delta timing; ``ops`` (plan/bucket pytree) enters the
+    jitted chain as an argument, never a closure constant.  Stretches the
+    chain until >= min_signal s of device time."""
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(B, n):
-        return jax.lax.fori_loop(0, n, lambda i, y: fn(y) * 0.01, B)
+    def chain(ops, B, n):
+        return jax.lax.fori_loop(0, n, lambda i, y: fn(ops, y) * 0.01, B)
 
     for _ in range(3):
         ts = {}
         for n in (lo, hi):
-            _sync(chain(B0, n=n))
+            _sync(chain(ops, B0, n=n))
             t0 = time.perf_counter()
-            _sync(chain(B0, n=n))
+            _sync(chain(ops, B0, n=n))
             ts[n] = time.perf_counter() - t0
         if ts[hi] > ts[lo]:
             t = (ts[hi] - ts[lo]) / (hi - lo)
@@ -92,65 +101,96 @@ def main(only: set[str] | None = None):
     n, m = g.n, g.m
     B0 = jnp.zeros((n, k), jnp.float32)
 
-    def sq(out, B):
-        # map arbitrary output back to (n, k) with everything kept live
-        return B * 0.01 + out
-
     # 1. full hybrid
     if want("full"):
-        chain_time(lambda B: plan(B)[:n], B0, "full hybrid")
+        chain_time(lambda p, B: p(B)[:n], plan, B0, "full hybrid")
 
-    # 2. residue ELL as shipped
+    # 2. residue ELL standalone (scatter into zeros + slice, as when
+    #    called without into=)
     if want("ell"):
-        chain_time(lambda B: ell(B)[:n], B0, "residue ELL (shipped)")
+        chain_time(lambda e, B: e(B)[:n], ell, B0, "residue ELL standalone")
+
+    # 2b. residue ELL into a live accumulator — the SHIPPED hybrid path
+    if want("ell_into"):
+        acc0 = jnp.ones((m, k), jnp.float32)
+
+        def ell_into(ops, B):
+            e, acc = ops
+            out = e(B, into=acc * (1.0 + B[0, 0] * 1e-9))
+            return B * 0.01 + out[:n] if m >= n else jnp.pad(
+                out, ((0, n - m), (0, 0)))
+
+        chain_time(ell_into, (ell, acc0), B0, "residue ELL into=live")
 
     # 3/4. gather + mul-reduce, without / with the concat
     kp = 128
     mgr = ell.max_gather_rows
 
-    def parts_of(B):
-        Bp = B  # k == kp == 128 here
+    def parts_of(buckets, B, mul=True):
         out = []
-        for cols, vals in ell.buckets:
+        for cols, vals in buckets:
             N, w = cols.shape
             step = max(1, mgr // w)
             for s in range(0, N, step):
                 c = cols[s:s + step]
                 v = vals[s:s + step]
-                Bg = Bp[c]
-                out.append((v[:, :, None] * Bg).sum(axis=1))
+                Bg = B[c]
+                out.append((v[:, :, None] * Bg).sum(axis=1) if mul
+                           else Bg.sum(axis=1))
         return out
 
-    def gr_only(B):
+    def gr_only(buckets, B):
         acc = jnp.zeros((kp,), jnp.float32)
-        for p in parts_of(B):
+        for p in parts_of(buckets, B):
             acc = acc + p.sum(axis=0)
         return B * 0.01 + acc[None, :]
 
     if want("gr"):
-        chain_time(lambda B: gr_only(B), B0, "gather+reduce (no concat)",
-                   lo=2, hi=8)
+        chain_time(gr_only, ell.buckets, B0, "gather+mulreduce (no concat)")
 
-    def gr_concat(B):
-        partial = jnp.concatenate(parts_of(B), axis=0)
+    def g_only(buckets, B):
+        acc = jnp.zeros((kp,), jnp.float32)
+        for p in parts_of(buckets, B, mul=False):
+            acc = acc + p.sum(axis=0)
+        return B * 0.01 + acc[None, :]
+
+    if want("g"):
+        chain_time(g_only, ell.buckets, B0, "gather+rowreduce (no vals)")
+
+    def gr_concat(buckets, B):
+        partial = jnp.concatenate(parts_of(buckets, B), axis=0)
         return B * 0.01 + partial.sum(axis=0)[None, :]
 
     if want("grc"):
-        chain_time(lambda B: gr_concat(B), B0, "gather+reduce+concat")
+        chain_time(gr_concat, ell.buckets, B0, "gather+mulreduce+concat")
 
-    # 5. scatter-add only, against a fixed partial
+    # 5. scatter-add only, against a fixed partial — both destinations
     n_chunks = int(ell.chunk_row.shape[0])
     partial_const = jnp.ones((n_chunks, kp), jnp.float32)
-    chunk_row = ell.chunk_row
 
-    def scat_only(B):
-        p = partial_const * (1.0 + B[0, 0] * 1e-9)
-        out = jnp.zeros((m, kp), jnp.float32).at[chunk_row].add(p)
+    def scat_zeros(ops, B):
+        pc, cr = ops
+        p = pc * (1.0 + B[0, 0] * 1e-9)
+        out = jnp.zeros((m, kp), jnp.float32).at[cr].add(p)
         return B * 0.01 + out[:n] if m >= n else B * 0.01 + jnp.pad(
             out, ((0, n - m), (0, 0)))
 
     if want("scat"):
-        chain_time(lambda B: scat_only(B), B0, "scatter-add only")
+        chain_time(scat_zeros, (partial_const, ell.chunk_row), B0,
+                   "scatter-add into zeros")
+
+    acc0 = jnp.ones((m, kp), jnp.float32)
+
+    def scat_live(ops, B):
+        pc, cr, acc = ops
+        p = pc * (1.0 + B[0, 0] * 1e-9)
+        out = acc.at[cr].add(p)
+        return B * 0.01 + out[:n] if m >= n else B * 0.01 + jnp.pad(
+            out, ((0, n - m), (0, 0)))
+
+    if want("scat"):
+        chain_time(scat_live, (partial_const, ell.chunk_row, acc0), B0,
+                   "scatter-add into live acc")
 
     # 6. dense half only
     import dataclasses
@@ -161,7 +201,7 @@ def main(only: set[str] | None = None):
                     padded_nnz=0, nnz=0, b_dtype="float32")
     plan_dense = dataclasses.replace(plan, ell=empty)
     if want("dense"):
-        chain_time(lambda B: plan_dense(B)[:n], B0, "dense half only")
+        chain_time(lambda p, B: p(B)[:n], plan_dense, B0, "dense half only")
 
     # engine-rate floor for the residue
     rows = sum(int(c.shape[0] * c.shape[1]) for c, v in ell.buckets)

@@ -176,10 +176,14 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
       bf16 row gathers run ~3x faster on this hardware
       (docs/measurements.md) at ~1e-3 relative error; accumulation stays
       f32 either way.
-    into: optional (out_rows, k) f32 accumulator the chunk partials are
+    into: optional (out_rows, kp) f32 accumulator the chunk partials are
       scatter-added into directly (the hybrid passes its dense half here:
       one scatter into dense replaces scatter-into-zeros + full-m add,
-      saving an (m, 128) read+write per call).
+      saving an (m, 128) read+write per call).  CONTRACT ASYMMETRY: with
+      ``into=`` the return is the kp-wide UNSLICED accumulator (kp = 128
+      when k < 128) — the caller owns the [:m, :k] slice and any
+      optimization barrier (``_windowed_call`` pre-pads B so kp == k and
+      slices once at the end); the default path returns [m, k].
     """
     k = B.shape[1]
     if not buckets:  # zero-nnz graph
