@@ -8,9 +8,27 @@ def enable_compile_cache(path: str = "/tmp/flex_tpu_jax_cache") -> None:
     """Point JAX at the on-disk compilation cache.  Remote TPU compiles
     through the relay take 1-15 min per new executable; every entry point
     that may touch the chip (CLI, bench.py, experiments) calls this first
-    so repeat runs pay only the cache lookup."""
+    so repeat runs pay only the cache lookup.
+
+    NB: /tmp does NOT survive between rounds (the round-4 driver capture
+    started with an empty /tmp and paid 146 s of cold compiles).  The
+    capture path (bench.py, __graft_entry__) therefore uses the
+    repo-committed cache via :func:`enable_repo_compile_cache`; the /tmp
+    default here is for dev-session experiments, whose one-off programs
+    would bloat the committed cache."""
     import jax
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+REPO_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_repo_compile_cache() -> None:
+    """Compile cache that travels WITH the repo (committed to git), so a
+    fresh driver machine hits warm executables for the whole capture path.
+    Populated by ``python bench.py --warm`` at dev time."""
+    enable_compile_cache(REPO_CACHE)
