@@ -47,6 +47,26 @@ def load(name):
         from flex_tpu.reorder import reorder
 
         return reorder(ppi_comm(seed=0), "rbdeg", check=False)
+    if name == "pysrc":
+        # the one REAL large graph available without egress: identifier
+        # co-occurrence over the installed Python distribution's ~30K
+        # source files (experiments/build_pysrc_graph.py), ingested
+        # through the MTX parity path (reference data/SuiteSparse/
+        # mtx2csr.cc) — nothing about its degree tail or community
+        # structure is generator-chosen
+        import os
+
+        from flex_tpu.io.mtx import load_mtx
+        from flex_tpu.reorder import reorder
+
+        if not os.path.exists("/tmp/pysrc.mtx"):
+            import subprocess
+
+            subprocess.run([sys.executable,
+                            "/root/repo/experiments/build_pysrc_graph.py",
+                            "/tmp/pysrc.mtx"], check=True)
+        return reorder(load_mtx("/tmp/pysrc.mtx", name="pysrc"), "rbdeg",
+                       check=False)
     d = np.load(f"/tmp/{name}_rbdeg.npz")
     return CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
                                 name=name, order="RBD")
