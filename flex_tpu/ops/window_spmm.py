@@ -370,6 +370,7 @@ def window_select(
 
     return {
         "G": g_step,
+        "W": W,
         "min_count_eff": min_count_eff,
         "build_chunks": _plan_build_chunks(
             used, pstep0, total_steps, tm, W, g_step, row_ptr_h, m,
@@ -437,6 +438,22 @@ def sel_device_tables(sel: dict) -> dict:
             "win_step": jnp.asarray(sel["win_step"]),
             "row_gather": jnp.asarray(sel["row_gather"]),
         }
+        # Backward-slot tables for the Pallas training backward
+        # (one packed upload + one rows upload; ~0.6 MB at reddit scale).
+        # Uploaded HERE so the timed prepare ships nothing, like the
+        # forward tables above.
+        tabs, n_blk = _bwd_tables(sel["win_step"], sel["out_panel"],
+                                  sel["nblk"], sel["G"],
+                                  sel.get("W", 128))
+        if tabs is None:
+            sel["bwd_tabs"], sel["n_blk_used"] = None, 0
+        else:
+            slot_s, slot_g, panel_of, rank, bfirst, rows = tabs
+            pack = jnp.asarray(np.stack(
+                [slot_s, slot_g, panel_of, rank, bfirst]))
+            sel["bwd_tabs"] = (pack[0], pack[1], pack[2], pack[3],
+                               pack[4], jnp.asarray(rows))
+            sel["n_blk_used"] = n_blk
     return sel["dev_tables"]
 
 
@@ -721,27 +738,54 @@ def _make_window_kernel(precision):
 
 
 @functools.lru_cache(maxsize=64)
-def _window_pallas_vjp(n_panels, W, k, precision, interpret):
+def _window_pallas_vjp(n_panels, W, k, precision, interpret, n_blk_used=0):
     """custom_vjp wrapper around the Pallas forward: Pallas kernels have
-    no automatic transpose, so the backward is expressed in plain XLA —
-    g_A[s] = g_panel(s) · Bw(s)ᵀ and g_B = Σ windows A(s)ᵀ · g_panel(s)
-    scatter-added into the gathered window rows.  This is what lets GCN
-    training run on the windowed plan (autodiff w.r.t. B and A values;
-    the integer layout tables get no cotangent)."""
+    no automatic transpose.  With backward tables (``bwd`` =
+    (slot_s, slot_g, panel_of_slot, rank, bfirst, rows);
+    :func:`_bwd_tables`), both gradients run as Pallas MXU kernels:
+
+    - g_A[s] = g_panel(s) · Bw(s)ᵀ rides the SAME scalar-prefetch B-block
+      DMA pattern as the forward (:func:`_window_bwd_gA_raw`) — no
+      B_pad[rows_idx] gather at all (the old XLA backward materialised
+      S·G·W rows ≈ 1.9 GB per step at reddit scale);
+    - g_B = Σ_slots A(slot)ᵀ · g_panel(slot), with slots SORTED BY BLOCK
+      ID so revisits of one output block are consecutive grid steps —
+      the supported Pallas accumulation pattern
+      (:func:`_window_bwd_gB_raw`) — then ONE set-scatter of the
+      n_blk_used·W block rows into B_pad shape (≤ n rows, vs the old
+      S·G·W-row scatter-add).
+
+    Without tables (``n_blk_used == 0``, e.g. a sharded builder that
+    didn't thread them) the old XLA formulation is used.  This is what
+    lets GCN training run on the windowed plan (autodiff w.r.t. B and A
+    values; integer tables get no cotangent)."""
 
     @jax.custom_vjp
-    def f(first, out_panel, win_step, A, B_pad):
+    def f(first, out_panel, win_step, bwd, A, B_pad):
         return _window_pallas_raw(first, out_panel, win_step, A, B_pad,
                                   n_panels=n_panels, W=W, k=k,
                                   precision=precision, interpret=interpret)
 
-    def fwd(first, out_panel, win_step, A, B_pad):
-        return f(first, out_panel, win_step, A, B_pad), (
-            first, out_panel, win_step, A, B_pad)
+    def fwd(first, out_panel, win_step, bwd, A, B_pad):
+        return f(first, out_panel, win_step, bwd, A, B_pad), (
+            first, out_panel, win_step, bwd, A, B_pad)
 
-    def bwd(resid, g):
-        first, out_panel, win_step, A, B_pad = resid
+    def bwd_fn(resid, g):
+        first, out_panel, win_step, bwd, A, B_pad = resid
         S, TM, GW = A.shape
+        if n_blk_used and bwd is not None:
+            slot_s, slot_g, panel_of, rank, bfirst, rows = bwd
+            g_A = _window_bwd_gA_raw(
+                first, out_panel, win_step, g, B_pad,
+                S=S, TM=TM, GW=GW, W=W, k=k, n_panels=n_panels,
+                precision=precision, interpret=interpret)
+            blk = _window_bwd_gB_raw(
+                slot_s, slot_g, panel_of, rank, bfirst, A, g,
+                TM=TM, W=W, k=k, n_panels=n_panels,
+                n_blk_used=n_blk_used, precision=precision,
+                interpret=interpret)
+            g_B_pad = jnp.zeros_like(B_pad).at[rows].set(blk)
+            return (None, None, None, None, g_A, g_B_pad)
         g_p = g.reshape(n_panels, TM, k)[out_panel]        # [S, TM, k]
         rows_idx = (win_step[:, None] * W
                     + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
@@ -752,16 +796,127 @@ def _window_pallas_vjp(n_panels, W, k, precision, interpret):
                         preferred_element_type=jnp.float32)
         g_B_pad = jnp.zeros_like(B_pad).at[rows_idx].add(
             gw.reshape(S * GW, k))
-        return (None, None, None, g_A, g_B_pad)
+        return (None, None, None, None, g_A, g_B_pad)
 
-    f.defvjp(fwd, bwd)
+    f.defvjp(fwd, bwd_fn)
     return f
 
 
+def _window_bwd_gA_raw(first, out_panel, win_step, g, B_pad, *, S, TM, GW,
+                       W, k, n_panels, precision, interpret):
+    """g_A[s] = g_panel(s) · Bw(s)ᵀ: grid = (S,), per step one
+    (TM, k)x(k, G·W) MXU dot — B window blocks arrive through the same
+    prefetched-blockspec DMA as the forward, the incoming cotangent
+    panel through the out_panel map.  Each A block is written once (no
+    accumulation)."""
+    g_step = GW // W
+
+    def kernel(first_ref, panel_ref, win_ref, g_ref, *refs):
+        b_refs, o_ref = refs[:-1], refs[-1]
+        bcat = jnp.concatenate([b[:] for b in b_refs], axis=0)  # (GW, k)
+        o_ref[0] = jax.lax.dot_general(
+            g_ref[:], bcat, (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+
+    def b_spec(gi):
+        return pl.BlockSpec(
+            (W, k), lambda s, f, op, ws, gi=gi: (ws[s * g_step + gi], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((TM, k), lambda s, f, op, ws: (op[s], 0),
+                         memory_space=pltpu.VMEM),
+            *[b_spec(gi) for gi in range(g_step)],
+        ],
+        out_specs=pl.BlockSpec((1, TM, GW), lambda s, f, op, ws: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, TM, GW), jnp.float32),
+        interpret=interpret,
+    )(first, out_panel, win_step, g, *([B_pad] * g_step))
+
+
+def _window_bwd_gB_raw(slot_s, slot_g, panel_of, rank, bfirst, A, g, *,
+                       TM, W, k, n_panels, n_blk_used, precision,
+                       interpret):
+    """g_B blocks: grid = (n_windows,) over real window slots sorted by
+    block id; per slot one (W, TM)x(TM, k) MXU dot of the slot's A tile
+    (transposed in-dot) against its panel's cotangent, accumulated into
+    the block's (W, k) output tile — consecutive slots of one block share
+    the tile (``bfirst`` re-initialises), the same revisit pattern as the
+    forward's panel accumulation.  Output is RANK-indexed (compact
+    [n_blk_used·W, k]); the caller set-scatters it into B_pad rows."""
+    def kernel(ss_ref, sg_ref, po_ref, rk_ref, bf_ref, a_ref, g_ref, o_ref):
+        t = pl.program_id(0)
+
+        @pl.when(bf_ref[t] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[:] += jax.lax.dot_general(
+            a_ref[0], g_ref[:], (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+
+    n_windows = slot_s.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_windows,),
+        in_specs=[
+            pl.BlockSpec((1, TM, W),
+                         lambda t, ss, sg, po, rk, bf: (ss[t], 0, sg[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, k),
+                         lambda t, ss, sg, po, rk, bf: (po[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W, k),
+                               lambda t, ss, sg, po, rk, bf: (rk[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blk_used * W, k), jnp.float32),
+        interpret=interpret,
+    )(slot_s, slot_g, panel_of, rank, bfirst, A, g)
+
+
+def _bwd_tables(win_step_h: np.ndarray, out_panel_h: np.ndarray,
+                nblk: int, g_step: int, W: int):
+    """Host backward-slot tables from the selection's flat window list:
+    real slots sorted ascending by block id, so the g_B kernel's output
+    revisits are consecutive.  Returns (slot_s, slot_g, panel_of, rank,
+    bfirst, rows, n_blk_used) — all O(n_windows) int32; ``rows`` are the
+    B_pad row indices of the compact rank-indexed output."""
+    idx = np.flatnonzero(win_step_h != nblk)
+    if not len(idx):
+        return None, 0
+    order = idx[np.argsort(win_step_h[idx], kind="stable")]
+    blk_sorted = win_step_h[order].astype(np.int64)
+    bfirst = np.r_[True, np.diff(blk_sorted) != 0]
+    rank = (np.cumsum(bfirst) - 1).astype(np.int32)
+    n_blk_used = int(rank[-1]) + 1
+    uniq = blk_sorted[bfirst]
+    rows = (uniq[:, None] * W + np.arange(W, dtype=np.int64)[None, :]
+            ).ravel().astype(np.int32)
+    slot_s = (order // g_step).astype(np.int32)
+    return (slot_s, (order % g_step).astype(np.int32),
+            out_panel_h[slot_s].astype(np.int32), rank,
+            bfirst.astype(np.int32), rows), n_blk_used
+
+
 def _window_pallas(first, out_panel, win_step, A, B_pad, *, n_panels, W, k,
-                   precision, interpret):
-    return _window_pallas_vjp(n_panels, W, k, precision, interpret)(
-        first, out_panel, win_step, A, B_pad)
+                   precision, interpret, bwd=None, n_blk_used=0):
+    return _window_pallas_vjp(n_panels, W, k, precision, interpret,
+                              n_blk_used)(
+        first, out_panel, win_step, bwd, A, B_pad)
 
 
 def _window_pallas_raw(first, out_panel, win_step, A, B_pad, *, n_panels,
@@ -963,7 +1118,9 @@ def _windowed_call(plan: "WindowedPlan", B):
                                      plan.win_step, plan.A, B_pad,
                                      n_panels=n_panels, W=W, k=kp,
                                      precision=plan.precision,
-                                     interpret=plan.interpret)
+                                     interpret=plan.interpret,
+                                     bwd=plan.bwd_tabs,
+                                     n_blk_used=plan.n_blk_used)
         cat = jnp.concatenate([out, jnp.zeros((1, kp), jnp.float32)], axis=0)
         dense = cat[plan.row_gather][: plan.m]
     else:
@@ -1001,6 +1158,8 @@ class WindowedPlan:
     transposed: bool = False  # Aᵀ layout + k<128-specialized kernel
     n_windows: int = 0       # real (non-sentinel) window slots
     covered_nnz: int = 0     # nnz inside kept windows
+    bwd_tabs: Any = None     # block-sorted slot tables (Pallas backward)
+    n_blk_used: int = 0      # distinct window blocks (g_B output ranks)
 
     def __call__(self, B) -> jax.Array:
         return _windowed_call(self, B)
@@ -1203,6 +1362,10 @@ def prepare_windowed(
         transposed=bool(transposed),
         n_windows=int(np.count_nonzero(sel["win_step"] != sel["nblk"])),
         covered_nnz=int(g.nnz - n_res),
+        # Pallas backward tables (row-major kernel only; the transposed
+        # k<128 kernel keeps the XLA backward — training runs at k=128)
+        bwd_tabs=None if transposed else sel.get("bwd_tabs"),
+        n_blk_used=0 if transposed else int(sel.get("n_blk_used", 0)),
     )
 
 
@@ -1211,15 +1374,16 @@ def spmm_windowed(g: CSRGraph, B, **kwargs):
 
 
 def _win_flatten(p: WindowedPlan):
-    return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell), (
+    return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell,
+            p.bwd_tabs), (
         p.m, p.n, p.tm, p.W, p.n_used_panels, p.coverage, p.interpret,
         p.impl, p.precision, p.min_count_eff, p.transposed, p.n_windows,
-        p.covered_nnz)
+        p.covered_nnz, p.n_blk_used)
 
 
 def _win_unflatten(aux, children):
     (m, n, tm, W, n_used, coverage, interpret, impl, precision, mc_eff,
-     transposed, n_windows, covered_nnz) = aux
+     transposed, n_windows, covered_nnz, n_blk_used) = aux
     return WindowedPlan(m=m, n=n, tm=tm, W=W, n_used_panels=n_used,
                         A=children[0], first=children[1],
                         out_panel=children[2], win_step=children[3],
@@ -1227,7 +1391,8 @@ def _win_unflatten(aux, children):
                         coverage=coverage, interpret=interpret, impl=impl,
                         precision=precision, min_count_eff=mc_eff,
                         transposed=transposed, n_windows=n_windows,
-                        covered_nnz=covered_nnz)
+                        covered_nnz=covered_nnz, bwd_tabs=children[6],
+                        n_blk_used=n_blk_used)
 
 
 jax.tree_util.register_pytree_node(WindowedPlan, _win_flatten, _win_unflatten)
