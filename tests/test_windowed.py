@@ -123,6 +123,46 @@ def test_windowed_grad_matches_xla_impl():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_windowed_pallas_bwd_tables_and_fallback():
+    """The Pallas training backward (block-sorted slot tables) must agree
+    with the XLA-formulation fallback (bwd_tabs stripped), and the host
+    table invariants must hold: slots sorted by block id, ranks dense,
+    rows = unique blocks' B_pad rows."""
+    import dataclasses
+
+    import jax
+
+    from flex_tpu.ops.window_spmm import _bwd_tables
+
+    g = community_graph(2000, 150_000, n_comm=4, seed=9, shuffle=False)
+    B = jnp.asarray(make_features(g, 16))
+    co = jnp.asarray(np.random.default_rng(0).random((g.m, 16), np.float32))
+    plan = prepare_windowed(g, tm=256, W=128, J=8, min_count=8)
+    assert plan.bwd_tabs is not None and plan.n_blk_used > 0
+
+    g_new = jax.grad(lambda b: (plan(b) * co).sum())(B)
+    p_old = dataclasses.replace(plan, bwd_tabs=None, n_blk_used=0)
+    g_old = jax.grad(lambda b: (p_old(b) * co).sum())(B)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=2e-4, atol=1e-4)
+
+    # host invariants
+    sel = window_select(g, tm=256, W=128, J=8, min_count=8)
+    tabs, n_blk = _bwd_tables(sel["win_step"], sel["out_panel"],
+                              sel["nblk"], sel["G"], 128)
+    slot_s, slot_g, panel_of, rank, bfirst, rows = tabs
+    flat = slot_s.astype(np.int64) * sel["G"] + slot_g
+    blk = sel["win_step"][flat]
+    assert (blk != sel["nblk"]).all()          # no sentinel slots
+    assert (np.diff(blk) >= 0).all()           # sorted by block id
+    assert rank[-1] + 1 == n_blk
+    np.testing.assert_array_equal(bfirst, np.r_[1, np.diff(blk) != 0])
+    uniq = np.unique(blk)
+    np.testing.assert_array_equal(
+        rows.reshape(-1, 128)[:, 0], uniq * 128)
+    np.testing.assert_array_equal(panel_of, sel["out_panel"][slot_s])
+
+
 def test_windowed_lex_step_order():
     """Panel permutation by lexicographic first-step block ids (the
     mat.cu:311-678 seg-reordering analog) must not change results or
