@@ -169,7 +169,7 @@ def _ell_meta_buckets(row_ptr, col_dev, vals_dev, *, meta):
     static_argnames=("m", "max_gather_rows", "out_rows", "b_dtype"),
 )
 def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
-              b_dtype="float32", into=None):
+              b_dtype="float32", into=None, chunk1=None, extras=None):
     """buckets: tuple of (cols [N,w] i32, vals [N,w] f32), one per width.
     chunk_row: int32[total_chunks] output row per chunk (bucket-major order).
     b_dtype: gather-source dtype. "bfloat16" is the fast inference mode —
@@ -184,6 +184,13 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
       when k < 128) — the caller owns the [:m, :k] slice and any
       optimization barrier (``_windowed_call`` pre-pads B so kp == k and
       slices once at the end); the default path returns [m, k].
+    chunk1: optional int32[out_rows] row -> its single chunk index
+      (n_chunks sentinel = no residue).  When every residue row owns
+      exactly one chunk (the common case: only deg > w_max rows split),
+      output assembly is a per-row GATHER of the chunk partials instead
+      of a scatter-add — row scatters measured 49 M rows/s vs gathers at
+      215 M on this chip (round-5 glue itemization: the 170K-chunk
+      scatter cost 3.5-4.3 ms of the reddit residue's 32.9 ms).
     """
     k = B.shape[1]
     if not buckets:  # zero-nnz graph
@@ -221,19 +228,61 @@ def _ell_spmm(buckets, chunk_row, B, *, m, max_gather_rows, out_rows,
                 (v[:, :, None] * Bg.astype(jnp.float32)).sum(axis=1)
             )
     partial = jnp.concatenate(parts, axis=0)
-    if into is not None:
-        if into.shape != (out_rows, kp):
-            raise ValueError(
-                f"into shape {into.shape} != ({out_rows}, {kp}); the "
-                f"caller must pre-pad its accumulator to the gather "
-                f"lane width")
+    if into is not None and into.shape != (out_rows, kp):
+        raise ValueError(
+            f"into shape {into.shape} != ({out_rows}, {kp}); the "
+            f"caller must pre-pad its accumulator to the gather "
+            f"lane width")
+    if chunk1 is not None:
+        # gather-assembled output: one partial row gathered per output
+        # row (sentinel n_chunks -> masked to zero; the select fuses into
+        # the gather's consumer, avoiding the 87 MB sentinel-row concat
+        # copy the first cut paid).  Split rows' non-first chunks fold
+        # into the first with one tiny scatter-add (n_extras rows,
+        # usually 0-tens).
+        if extras is not None:
+            ei, ef = extras
+            partial = partial.at[ef].add(partial[ei])
+        n_chunks = partial.shape[0]
+        live = chunk1 < n_chunks
+        res = jnp.where(live[:, None],
+                        partial[jnp.where(live, chunk1, 0)], 0.0)
+        if into is not None:
+            return into + res
+        out = res
+    elif into is not None:
         return into.at[chunk_row].add(partial)
-    out = jnp.zeros((out_rows, kp), jnp.float32).at[chunk_row].add(partial)
+    else:
+        out = jnp.zeros((out_rows, kp), jnp.float32).at[chunk_row].add(
+            partial)
     if kp != k:
         # stop XLA sinking the final slice back through the chain (it
         # would narrow the lanes again and undo the padding)
         out = jax.lax.optimization_barrier(out)
     return out[:m, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_extras"))
+def _gather_assembly_tables(chunk_row, *, m, n_extras):
+    """Tables for the gather-assembled output: ``chunk1[r]`` = row r's
+    FIRST chunk index (scatter-min; sentinel n_chunks = no residue), and
+    — when rows longer than w_max split into several chunks — the
+    ``n_extras`` non-first chunk indices plus their rows' first-chunk
+    targets, so the call can pre-fold them with one tiny scatter-add
+    (reddit residue: 3 extras in 170,358 chunks).  ``n_extras`` is
+    host-static (total chunks − rows with nnz); everything is built on
+    device at prepare time — no host upload."""
+    n_chunks = chunk_row.shape[0]
+    idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk1 = jnp.full((m,), n_chunks, jnp.int32).at[chunk_row].min(idx)
+    if n_extras == 0:
+        return chunk1, None
+    is_extra = chunk1[chunk_row] != idx
+    pos = jnp.cumsum(is_extra.astype(jnp.int32)) - 1
+    extra_idx = jnp.zeros((n_extras,), jnp.int32).at[
+        jnp.where(is_extra, pos, n_extras)].set(idx, mode="drop")
+    extra_first = chunk1[chunk_row[extra_idx]]
+    return chunk1, (extra_idx, extra_first)
 
 
 @dataclasses.dataclass
@@ -245,19 +294,22 @@ class EllPlan:
     nnz: int
     max_gather_rows: int = 2 * 1024 * 1024
     b_dtype: str = "float32"
+    chunk1: Any = None    # i32[m] row -> first chunk (gather assembly)
+    extras: Any = None    # (extra_idx, extra_first) split-row fold tables
 
     def __call__(self, B, into=None) -> jax.Array:
         return _ell_spmm(
             self.buckets, self.chunk_row, B, m=self.m,
             max_gather_rows=self.max_gather_rows,
             out_rows=self.m, b_dtype=self.b_dtype, into=into,
+            chunk1=self.chunk1, extras=self.extras,
         )
 
     # Registered as a pytree (see bottom of file) so jitted callers can take
     # the plan as an *argument* — closing over it would bake the bucket
     # arrays into the executable as constants.
     def tree_flatten(self):
-        children = (self.buckets, self.chunk_row)
+        children = (self.buckets, self.chunk_row, self.chunk1, self.extras)
         aux = (self.m, self.padded_nnz, self.nnz, self.max_gather_rows,
                self.b_dtype)
         return children, aux
@@ -267,7 +319,7 @@ class EllPlan:
         m, padded_nnz, nnz, mgr, b_dtype = aux
         return cls(m=m, buckets=children[0], chunk_row=children[1],
                    padded_nnz=padded_nnz, nnz=nnz, max_gather_rows=mgr,
-                   b_dtype=b_dtype)
+                   b_dtype=b_dtype, chunk1=children[2], extras=children[3])
 
     def traffic_model(self, k: int) -> dict:
         """Predicted HBM bytes per call (the reference's dataVolume/NPerf
@@ -425,9 +477,20 @@ def prepare_ell_device(
         row_ptr_dev, col_dev, vals_dev,
         meta=(widths[-1], tuple(widths), tuple(bucket_meta), n_rows_last),
     )
+    # Gather-assembled output (round-5 glue itemization: replaces the
+    # 49 M rows/s chunk scatter-add with a 215 M rows/s per-row gather);
+    # split rows' extra chunks fold in via a tiny static-count scatter.
+    # Disabled under bucket_alloc padding (pad chunks carry chunk_row=0
+    # and would shadow row 0's real first chunk in the min).
+    chunk1 = extras = None
+    if bucket_alloc is None and len(deg):
+        n_extras = int(chunk_row.shape[0]) - int((deg > 0).sum())
+        chunk1, extras = _gather_assembly_tables(chunk_row, m=m,
+                                                 n_extras=n_extras)
     return EllPlan(
         m=m, buckets=buckets, chunk_row=chunk_row,
-        padded_nnz=padded, nnz=nnz, b_dtype=b_dtype,
+        padded_nnz=padded, nnz=nnz, b_dtype=b_dtype, chunk1=chunk1,
+        extras=extras,
     )
 
 

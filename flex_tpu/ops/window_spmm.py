@@ -1280,6 +1280,17 @@ def prepare_windowed(
               sel.get("unique_rc", False), bool(transposed))
     res_deg = sel.get("res_deg")
     if fused and res_deg is not None:
+        from flex_tpu.ops.ell_spmm import _gather_assembly_tables
+
+        # gather-assembled residue combine (see ell_spmm._ell_spmm
+        # chunk1/extras): n_extras = chunks beyond each row's first,
+        # host-static from the selection's residue degrees
+        _n_live = int((np.asarray(res_deg) > 0).sum())
+
+        def _assembly(chunk_row_dev):
+            n_extras = int(chunk_row_dev.shape[0]) - _n_live
+            return _gather_assembly_tables(chunk_row_dev, m=g.m,
+                                           n_extras=n_extras)
         # Fused one-program build: the residue ELL layout is static from
         # the selection's host res_deg, so dense A, residue compaction,
         # and the ELL buckets compile into ONE executable — one dispatch,
@@ -1316,10 +1327,11 @@ def prepare_windowed(
                 tabs["pstep0"], st["h"], layout=layout,
                 bucket_meta=st["bucket_meta"], padded_total=st["padded"],
                 **bkw)
+            c1, ex = _assembly(st["chunk_row"])
             ell = EllPlan(m=g.m, buckets=buckets,
                           chunk_row=st["chunk_row"],
                           padded_nnz=st["padded"], nnz=n_res,
-                          b_dtype=b_dtype)
+                          b_dtype=b_dtype, chunk1=c1, extras=ex)
         else:
             by_w, n_rows_last, padded = host_bucket_sizes(
                 np.asarray(res_deg, dtype=np.int64), DEFAULT_WIDTHS)
@@ -1330,8 +1342,10 @@ def prepare_windowed(
                 dev.row_ptr, dev.col, dev.vals, tabs["slot"],
                 tabs["pstep0"], layout=layout, ell_meta=ell_meta,
                 chunks=sel.get("build_chunks"))
+            c1, ex = _assembly(chunk_row)
             ell = EllPlan(m=g.m, buckets=buckets, chunk_row=chunk_row,
-                          padded_nnz=padded, nnz=n_res, b_dtype=b_dtype)
+                          padded_nnz=padded, nnz=n_res, b_dtype=b_dtype,
+                          chunk1=c1, extras=ex)
     else:
         A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
             dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],

@@ -56,3 +56,37 @@ def test_ell_plan_reuse(small_rmat):
         chk = res_check(spmm_scipy(small_rmat, B),
                         np.asarray(plan(jnp.asarray(B))), small_rmat.degrees)
         assert chk.ok
+
+
+def test_ell_gather_assembly_matches_scatter():
+    # round-5 glue fix: output assembled by per-row gather of chunk
+    # partials (chunk1/extras tables) must equal the chunk scatter-add.
+    import dataclasses
+    g = rmat_graph(256, 8192, seed=5)
+    B = make_features(g, 16)
+    plan = prepare_ell(g, widths=(2, 4, 8))  # forces split rows -> extras
+    assert plan.chunk1 is not None
+    assert plan.extras is not None  # split rows produce extra chunks
+    scat = dataclasses.replace(plan, chunk1=None, extras=None)
+    got = np.asarray(plan(jnp.asarray(B)))
+    want = np.asarray(scat(jnp.asarray(B)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    chk = res_check(spmm_scipy(g, B), got, g.degrees)
+    assert chk.ok, chk
+
+
+def test_ell_gather_assembly_into():
+    # hybrid contract: into= + chunk1 adds the gathered residue onto the
+    # dense accumulator and returns the kp-wide buffer unsliced.
+    g = uniform_graph(512, 600, seed=1)  # has zero-degree rows (sentinel)
+    B = make_features(g, 8)
+    plan = prepare_ell(g)
+    assert plan.chunk1 is not None
+    kp = 128  # k < 128 pads lanes
+    into = jnp.ones((g.m, kp), jnp.float32)
+    out = np.asarray(plan(jnp.asarray(B), into=into))
+    assert out.shape == (g.m, kp)
+    ref = spmm_scipy(g, B)
+    chk = res_check(ref + 1.0, out[:, :8] , np.maximum(g.degrees, 1))
+    assert chk.ok, chk
+    assert np.all(out[g.degrees == 0] == 1.0)  # sentinel rows untouched
