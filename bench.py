@@ -270,10 +270,10 @@ def worker(out_path: str) -> None:
             json.dump(res, f)
         os.replace(tmp, out_path)
 
-    # Capture level (escalated by the parent on OOM): 0 = frontier
-    # windowed config (mc=48 / 8 GiB cap — 120.7 GF/s in a fresh
-    # process), 1 = measured-safe in-harness config (mc=64 / 6 GiB),
-    # 2 = small-footprint ell.
+    # Capture level (escalated by the parent on OOM): 0 = the pinned
+    # in-harness windowed config (mc=64 / 6 GiB — see the level-0 note
+    # below: the mc=48/8 GiB standalone frontier measured SLOWER
+    # in-harness); any level >= 1 = small-footprint ell.
     level = 2 if os.environ.get("FLEX_BENCH_SAFE") else \
         int(os.environ.get("FLEX_BENCH_LEVEL", "0"))
     res["capture_level"] = level
@@ -370,6 +370,10 @@ def worker(out_path: str) -> None:
     import logging as _logging
 
     _logging.getLogger("jax._src.compiler").setLevel(_logging.DEBUG)
+    # per-component cache-key hashes on every compile: a future miss
+    # must name WHICH component drifted (computation vs compile_options
+    # — the round-5 windowed_call misses could not be attributed)
+    _logging.getLogger("jax._src.cache_key").setLevel(_logging.DEBUG)
     log(f"backend: {jax.devices()}")  # forces device init under watchdog
     init_done.set()
     import jax.numpy as jnp
@@ -432,6 +436,23 @@ def worker(out_path: str) -> None:
         # compile must happen HERE, not inside the timed prepare
         _sync(getattr(plan, "__dict__", plan))
         Bw = jnp.zeros((g.n, K), jnp.float32)
+        if method == "windowed":
+            # canonicalized-IR fingerprint of the headline executable:
+            # two runs logging different hashes = the COMPUTATION drifts
+            # (plan structure nondeterminism); same hash but a cache
+            # miss = compile_options/backend drift (round-5 forensics)
+            try:
+                import hashlib
+
+                from jax._src import cache_key as _ck
+
+                from flex_tpu.ops.window_spmm import _windowed_call
+                _ir = _windowed_call.lower(plan, Bw).compiler_ir()
+                _canon = _ck._canonicalize_ir(_ir, _ck.IgnoreCallbacks.NO)
+                log(f"windowed_call canon-IR sha256="
+                    f"{hashlib.sha256(_canon).hexdigest()} len={len(_canon)}")
+            except Exception as e:  # forensics only — never gates
+                log(f"canon-IR fingerprint failed: {e!r}")
         _sync(plan(Bw))
         del plan
         t_cold = time.time() - t0
@@ -524,10 +545,15 @@ def worker(out_path: str) -> None:
     else:
         log(f"skipping tPre best-of-two ({left():.0f}s left)")
 
-    # Serial-chain cross-check of tElap (the reference harness likewise
-    # double-checks its timing, flex.cu:5737-5790): if the dispatch-
-    # averaged number is >30% faster than a true dependency chain, the
-    # relay overlapped/elided dispatches — report the chain number.
+    # Serial-chain tElap (the reference harness likewise double-checks
+    # its timing, flex.cu:5737-5790).  The chain delta-of-two-lengths is
+    # the repo's ONE trustworthy estimator (CLAUDE.md): it is immune to
+    # the relay's non-serialization of independent dispatches (which
+    # makes dispatch-avg too FAST) and subtracts the per-dispatch sync
+    # round-trip (~5-7 ms here, which makes dispatch-avg too SLOW — the
+    # reference's cudaEvent timing has no launch latency in it either).
+    # When the chain delta is valid and plausible it IS the headline
+    # tElap; dispatch-avg stays in the JSON as the cross-check.
     if plan2 is not None and (force_all or left() > 150):
         try:
             import math as _math
@@ -536,9 +562,16 @@ def worker(out_path: str) -> None:
             if _math.isnan(ch):
                 raise RuntimeError("non-positive serial-chain delta 3x")
             res["t_elap_chain_ms"] = round(ch * 1e3, 2)
+            res["t_elap_dispatch_ms"] = round(r.t_elap * 1e3, 2)
             log(f"serial-chain tElap: {ch*1e3:.1f}ms "
                 f"(dispatch-avg {r.t_elap*1e3:.1f}ms)")
-            if ch > 1.3 * r.t_elap:
+            if ch < 0.4 * r.t_elap:
+                # a chain 2.5x faster than its own dispatches is not
+                # overhead subtraction — something got elided; keep the
+                # conservative dispatch number
+                res["annotations"].append(
+                    f"chain-implausibly-fast:{ch/r.t_elap:.2f}x-kept-dispatch")
+            else:
                 res["annotations"].append(
                     f"chain-timing-used:{ch/r.t_elap:.2f}x-dispatch-avg")
                 r.t_elap = ch

@@ -1,175 +1,121 @@
-"""Itemize one m=200K panel call to find the 5-10x unmodeled term
-(VERDICT r04 next #6; bench/autotune.py:136-143 gates panel to
-m <= 100K because case 0 of experiments/panel_regime.py measured 288 ms
-against a 28 ms model).
+"""Profile one m=200K panel call and find the 5-10x unmodeled term
+(VERDICT r04 next #6: either the term gets found and the model fixed, or
+panel is demoted from `suggest`).
 
-Components, each a serial-chain delta timing (the only trustworthy
-timing through the relay, docs/measurements.md):
-  full        the shipped _panel_spmm call
-  hub         hub row-split path only (gather + einsum + segment_sum)
-  tail        tail buckets only (gather + batched einsum + order-restore)
-  tail_gather per-bucket B[uc] gathers only (consume-reduced)
-  tail_mm     per-bucket einsum with the gather replaced by a statically
-              sliced B block (no gather) — isolates the MXU/batched-dot
-Plus per-bucket shape printout and the model's own per-term prediction,
-so the divergent term is named, not guessed.
+Method: the round-4 regime study's case 0 graph (m=200K, 20M nnz, 512
+hub cols, frac 0.95, deg-ordered) measured 288 ms against a 28 ms model.
+Here the call is ITEMIZED the way the round-4 small-graph study was:
 
-PYTHONPATH=/root/repo:$PYTHONPATH python experiments/panel_profile.py [idx]
+- hub-only plan (tail buckets emptied) vs tail-only plan (hub arrays
+  emptied) vs full plan, each timed as a serial chain (delta of two
+  chain lengths — the only trustworthy estimator, CLAUDE.md);
+- per-term model prediction printed next to each measured component;
+- plan.stats (gathered rows, a_dense bytes, bucket count) for the
+  byte/row accounting.
+
+PYTHONPATH=/root/repo:$PYTHONPATH python experiments/panel_profile.py
 """
 from __future__ import annotations
 
-import functools
+import dataclasses
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from flex_tpu.utils import enable_compile_cache
 
 enable_compile_cache()
+import functools
 
+import jax.numpy as jnp
+import numpy as np
+
+from flex_tpu.bench.autotune import FIXED_OVERHEAD, HBM, MXU_HIGHEST
 from flex_tpu.bench.harness import _sync
 from flex_tpu.io.synth import hub_graph
 from flex_tpu.ops.panel_spmm import prepare_panel
 from flex_tpu.reorder import reorder
 
-CASES = [
-    (200_000, 20_000_000, 512, 0.95),
-    (50_000, 5_000_000, 256, 0.95),
-]
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _chain(plan, B0, *, steps):
+    return jax.lax.fori_loop(0, steps, lambda i, y: plan(y) * 0.01, B0)
 
 
-def chain_time(fn, ops, B0, label, lo=2, hi=8, min_signal=0.04):
-    """Serial-chain delta timing; ops enters as a jit ARGUMENT (never a
-    closure constant — CLAUDE.md)."""
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(ops, B, n):
-        return jax.lax.fori_loop(0, n, lambda i, y: fn(ops, y) * 0.01, B)
-
-    for _ in range(4):
+def chain_ms(plan, n, k, lo=3, hi=9) -> float:
+    B0 = jnp.zeros((n, k), jnp.float32)
+    for _ in range(3):
         ts = {}
-        for n in (lo, hi):
-            _sync(chain(ops, B0, n=n))
+        for steps in (lo, hi):
+            _sync(_chain(plan, B0, steps=steps))
             t0 = time.perf_counter()
-            _sync(chain(ops, B0, n=n))
-            ts[n] = time.perf_counter() - t0
+            _sync(_chain(plan, B0, steps=steps))
+            ts[steps] = time.perf_counter() - t0
         if ts[hi] > ts[lo]:
-            t = (ts[hi] - ts[lo]) / (hi - lo)
-            if t * (hi - lo) < min_signal:
-                hi = lo + max(hi - lo, int(min_signal / max(t, 1e-7)))
-                continue
-            print(f"{label:24s} {t*1e3:9.3f} ms/call", flush=True)
-            return t
-    print(f"{label:24s}       NaN", flush=True)
+            return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
     return float("nan")
 
 
-def main(idx: int = 0):
-    m, nnz, nh, hf = CASES[idx]
-    t0 = time.time()
-    g = reorder(hub_graph(m, nnz, n_hub_cols=nh, hub_frac=hf, seed=idx),
-                "deg", check=False)
-    print(f"case m={m} nnz={g.nnz} hub_cols={nh} frac={hf} "
-          f"(gen {time.time()-t0:.0f}s)", flush=True)
-    plan = prepare_panel(g, tm=128, hub_threshold=512)
-    st = plan.stats
-    print(f"plan: {st}", flush=True)
-    for i, (a, uc, ids) in enumerate(plan.data["buckets"]):
-        print(f"  bucket {i}: A{tuple(a.shape)} ucols{tuple(uc.shape)} "
-              f"gathered_rows={a.shape[0]*uc.shape[1]}", flush=True)
+def main():
     k = 128
-    B0 = jnp.zeros((g.n, k), jnp.float32)
-    prec = jax.lax.Precision.HIGHEST
+    t0 = time.time()
+    g = reorder(hub_graph(200_000, 20_000_000, n_hub_cols=512,
+                          hub_frac=0.95, seed=0), "deg", check=False)
+    print(f"graph: m={g.m} nnz={g.nnz} (gen {time.time()-t0:.0f}s)",
+          flush=True)
 
-    # shipped full call: plan is a registered pytree -> pass as ops
-    chain_time(lambda p, B: p(B)[: g.n], plan, B0, "full")
+    t0 = time.time()
+    plan = prepare_panel(g)
+    _sync(plan.data)
+    print(f"prepare_panel: {time.time()-t0:.1f}s  stats={plan.stats}",
+          flush=True)
 
-    # hub only (project to n rows for the chain shape)
-    def hub_only(data, B):
-        hc, hv, cr = data
-        Nh, W = hc.shape
-        parts = []
-        step = max(1, (2 * 1024 * 1024) // W)
-        for s in range(0, Nh, step):
-            Bh = B[hc[s:s + step]]
-            parts.append(jnp.einsum("nw,nwk->nk", hv[s:s + step], Bh,
-                                    precision=prec,
-                                    preferred_element_type=jnp.float32))
-        p = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        out = jax.ops.segment_sum(p, cr, num_segments=plan.n_hub_rows,
-                                  indices_are_sorted=True)
-        return jnp.zeros_like(B).at[: plan.n_hub_rows].set(
-            out[: min(plan.n_hub_rows, B.shape[0])])
+    st = plan.stats
+    hub_rows_gathered = st["n_hub_chunks"] * plan.data["hub_cols"].shape[1]
+    tail_gathered = st["gathered_rows"] - hub_rows_gathered
+    # the autotuner's terms, split by component
+    t_hub_bytes = 3 * hub_rows_gathered * k * 4 / HBM
+    t_tail_bytes = (st["a_dense_bytes"] + 3 * tail_gathered * k * 4) / HBM
+    flops = 0
+    for a, _, _ in plan.data["buckets"]:
+        P, tm, u = a.shape
+        flops += 2 * P * tm * u * k
+    t_tail_mxu = flops / MXU_HIGHEST
+    print(f"model: hub={t_hub_bytes*1e3:.1f}ms "
+          f"tail_bytes={t_tail_bytes*1e3:.1f}ms "
+          f"tail_mxu={t_tail_mxu*1e3:.1f}ms "
+          f"fixed={FIXED_OVERHEAD*1e3:.1f}ms "
+          f"(hub_gathered={hub_rows_gathered} tail_gathered={tail_gathered})",
+          flush=True)
 
-    hub_ops = (plan.data["hub_cols"], plan.data["hub_vals"],
-               plan.data["hub_chunk_row"])
-    if plan.data["hub_cols"].shape[0]:
-        chain_time(hub_only, hub_ops, B0, "hub")
+    empty_hub = {
+        "hub_cols": jnp.zeros((0, plan.data["hub_cols"].shape[1]), jnp.int32),
+        "hub_vals": jnp.zeros((0, plan.data["hub_cols"].shape[1]),
+                              jnp.float32),
+        "hub_chunk_row": jnp.zeros((0,), jnp.int32),
+        "buckets": plan.data["buckets"],
+    }
+    hub_only = {**plan.data, "buckets": ()}
+    for tag, data in (("full", plan.data), ("tail-only", empty_hub),
+                      ("hub-only", hub_only)):
+        p = dataclasses.replace(plan, data=data)
+        ms = chain_ms(p, g.n, k)
+        print(f"{tag:10s} chain {ms:8.2f} ms", flush=True)
 
-    # tail only
-    def tail_only(buckets, B):
-        outs = []
-        for a, uc, ids in buckets:
-            P, tm, u = a.shape
-            step = max(1, (2 * 1024 * 1024) // u)
-            sub = []
-            for s in range(0, P, step):
-                Bp = B[uc[s:s + step]]
-                sub.append(jnp.einsum("ptu,puk->ptk", a[s:s + step], Bp,
-                                      precision=prec,
-                                      preferred_element_type=jnp.float32))
-            outs.append((jnp.concatenate(sub, axis=0) if len(sub) > 1
-                         else sub[0]).sum(axis=(0, 1)))
-        acc = functools.reduce(lambda x, y: x + y, outs)
-        return jnp.zeros_like(B) + acc[None, :]
+    # sanity: full result correct (guards the itemization against a
+    # broken plan)
+    from flex_tpu.io import make_features
+    from flex_tpu.ops.ref import spmm_scipy
+    from flex_tpu.utils.check import res_check
 
-    chain_time(tail_only, plan.data["buckets"], B0, "tail")
-
-    # tail gathers only (consume-reduce so nothing is elided)
-    def tail_gather(buckets, B):
-        outs = []
-        for a, uc, ids in buckets:
-            P, tm, u = a.shape
-            step = max(1, (2 * 1024 * 1024) // u)
-            for s in range(0, P, step):
-                outs.append(B[uc[s:s + step]].sum(axis=(0, 1)))
-        acc = functools.reduce(lambda x, y: x + y, outs)
-        return jnp.zeros_like(B) + acc[None, :]
-
-    chain_time(tail_gather, plan.data["buckets"], B0, "tail_gather")
-
-    # tail matmuls with static B slabs (no gather)
-    def tail_mm(buckets, B):
-        outs = []
-        for a, uc, ids in buckets:
-            P, tm, u = a.shape
-            step = max(1, (2 * 1024 * 1024) // u)
-            for s in range(0, P, step):
-                n_s = min(step, P - s)
-                Bp = jnp.broadcast_to(B[:u, :], (n_s, u, B.shape[1]))
-                outs.append(jnp.einsum(
-                    "ptu,puk->ptk", a[s:s + step], Bp, precision=prec,
-                    preferred_element_type=jnp.float32).sum(axis=(0, 1)))
-        acc = functools.reduce(lambda x, y: x + y, outs)
-        return jnp.zeros_like(B) + acc[None, :]
-
-    chain_time(tail_mm, plan.data["buckets"], B0, "tail_mm")
-
-    # model's own prediction per term (autotune constants)
-    from flex_tpu.bench.autotune import HBM, MXU_HIGHEST
-
-    a_bytes = st["a_dense_bytes"]
-    gathered = st["gathered_rows"]
-    flops = sum(2 * int(np.prod(a.shape)) * k
-                for a, _, _ in plan.data["buckets"])
-    print(f"model: a_bytes/HBM={a_bytes/HBM*1e3:.1f}ms  "
-          f"gather 3pass={3*gathered*k*4/HBM*1e3:.1f}ms  "
-          f"(row-rate={gathered/215e6*1e3:.1f}ms)  "
-          f"mxu={flops/MXU_HIGHEST*1e3:.1f}ms", flush=True)
+    B = make_features(g, k)
+    chk = res_check(np.asarray(plan(jnp.asarray(B))), spmm_scipy(g, B),
+                    g.degrees)
+    print(f"res_check: {chk}", flush=True)
+    print("ALL-DONE", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
+    main()
