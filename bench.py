@@ -341,6 +341,8 @@ def worker(out_path: str) -> None:
         wedged tunnel.  Post-emit stages don't need this: the RESULT file
         is already on disk and the parent reads it regardless of rc."""
         done = threading.Event()
+        if force_all:
+            seconds = max(seconds, 3000)  # --warm has no parent retry
 
         def _fire():
             if not done.wait(seconds):
@@ -391,6 +393,27 @@ def worker(out_path: str) -> None:
 
     log("uploading CSR...")
     t0 = time.time()
+    # Fail-fast rate probe: the tunnel's slow mode (0.04-0.8 MB/s; four
+    # round-5 rehearsal attempts died at the 240 s csr-upload watchdog)
+    # is a process-lifetime condition — measure it on 4 MB under its own
+    # SHORT watchdog (the probe transfer itself blocks at slow-mode
+    # rates, so only a watchdog can cut it) and bail immediately, handing
+    # the fresh-process retry ~200 s more budget.  --warm has no parent
+    # retry, so it rides the slow mode out instead (stage_deadline is
+    # already >= 3000 s there and the rate bail is skipped).
+    with stage_deadline("upload-probe", 25):
+        tp = time.time()
+        _sync(jax.device_put(np.ones(1024 * 1024, np.float32)))
+        t_probe = time.time() - tp
+    # 190 MB at the probed rate must fit the 240 s stage deadline:
+    # bail when 4 MB took > ~5 s (<= 0.8 MB/s)
+    if t_probe > 5.0 and not force_all:
+        log(f"[watchdog] upload probe 4 MB took {t_probe:.1f}s — slow "
+            f"tunnel mode; exiting for a fresh-process retry")
+        res["annotations"].append("slow-tunnel-probe")
+        emit()
+        os._exit(5)
+    log(f"upload probe: 4 MB in {t_probe:.1f}s")
     with stage_deadline("csr-upload", 240):
         dev = DeviceCSR.from_graph(g)
         _sync((dev.row_ptr, dev.col, dev.vals))  # retire ALL three uploads

@@ -35,8 +35,33 @@ y = jnp.asarray(rng.integers(0, 41, g.m).astype(np.int32))
 mask = jnp.ones((g.m,), jnp.float32)
 opt = optax.adam(1e-2)
 
+from flex_tpu.ops.window_spmm import with_training_bwd
+
+# On-chip gradient parity for the transposed-residue backward (CLAUDE.md:
+# any kernel-path change needs on-chip validation — CPU tests can't see
+# TPU-lowering bugs): grad wrt B of sum(plan(B)*co) through both paths.
+base = prepare_windowed(g, dev=dev, tm=256, W=128, min_count=64)
+tb = with_training_bwd(base)
+co = jnp.asarray(rng.random((g.m, 128)).astype(np.float32))
+
+
+@jax.jit
+def _gb(p, b):
+    return jax.grad(lambda bb: (p(bb) * co).sum())(b)
+
+
+g1 = np.asarray(_gb(base, X))
+g2 = np.asarray(_gb(tb, X))
+den = np.maximum(np.abs(g1), 1e-3)
+print(f"grad parity windowed vs +tbwd: max_rel="
+      f"{(np.abs(g1 - g2) / den).max():.2e}", flush=True)
+del base, tb, g1, g2
+
 for name, prep in (("windowed", lambda: prepare_windowed(
                         g, dev=dev, tm=256, W=128, min_count=64)),
+                   ("windowed+tbwd", lambda: with_training_bwd(
+                        prepare_windowed(g, dev=dev, tm=256, W=128,
+                                         min_count=64))),
                    ("ell", lambda: prepare_ell(g, dev=dev))):
     plan = prep()
     params = model.init(jax.random.PRNGKey(0))

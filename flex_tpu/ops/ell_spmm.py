@@ -296,8 +296,12 @@ class EllPlan:
     b_dtype: str = "float32"
     chunk1: Any = None    # i32[m] row -> first chunk (gather assembly)
     extras: Any = None    # (extra_idx, extra_first) split-row fold tables
+    bwd_plan: Any = None  # transposed-pattern EllPlan (training backward)
 
     def __call__(self, B, into=None) -> jax.Array:
+        if self.bwd_plan is not None:
+            return (_ell_apply_cv(self, B, into) if into is not None
+                    else _ell_apply_cv0(self, B))
         return _ell_spmm(
             self.buckets, self.chunk_row, B, m=self.m,
             max_gather_rows=self.max_gather_rows,
@@ -309,7 +313,8 @@ class EllPlan:
     # the plan as an *argument* — closing over it would bake the bucket
     # arrays into the executable as constants.
     def tree_flatten(self):
-        children = (self.buckets, self.chunk_row, self.chunk1, self.extras)
+        children = (self.buckets, self.chunk_row, self.chunk1, self.extras,
+                    self.bwd_plan)
         aux = (self.m, self.padded_nnz, self.nnz, self.max_gather_rows,
                self.b_dtype)
         return children, aux
@@ -319,7 +324,8 @@ class EllPlan:
         m, padded_nnz, nnz, mgr, b_dtype = aux
         return cls(m=m, buckets=children[0], chunk_row=children[1],
                    padded_nnz=padded_nnz, nnz=nnz, max_gather_rows=mgr,
-                   b_dtype=b_dtype, chunk1=children[2], extras=children[3])
+                   b_dtype=b_dtype, chunk1=children[2], extras=children[3],
+                   bwd_plan=children[4])
 
     def traffic_model(self, k: int) -> dict:
         """Predicted HBM bytes per call (the reference's dataVolume/NPerf
@@ -514,6 +520,114 @@ def prepare_ell(
 
 def spmm_ell(g: CSRGraph, B, **kwargs):
     return prepare_ell(g, **kwargs)(jnp.asarray(B))
+
+
+# --------------------------------------------------------------------------
+# Training backward: transposed-pattern gather instead of autodiff's scatter
+# --------------------------------------------------------------------------
+
+def _ell_raw_call(plan: "EllPlan", B, into):
+    return _ell_spmm(
+        plan.buckets, plan.chunk_row, B, m=plan.m,
+        max_gather_rows=plan.max_gather_rows, out_rows=plan.m,
+        b_dtype=plan.b_dtype, into=into, chunk1=plan.chunk1,
+        extras=plan.extras)
+
+
+def _zero_cotangents(tree):
+    """Zero cotangents for a pytree of primal arrays: float0 for integer
+    leaves (JAX's required tangent dtype for ints), zeros otherwise.  All
+    dead in practice (training never differentiates wrt the plan), so
+    XLA DCEs them."""
+    def z(x):
+        aval = jax.core.get_aval(x)
+        if jnp.issubdtype(aval.dtype, jnp.inexact):
+            return jnp.zeros(aval.shape, aval.dtype)
+        return np.zeros(aval.shape, jax.dtypes.float0)
+    return jax.tree.map(z, tree)
+
+
+@jax.custom_vjp
+def _ell_apply_cv(plan, B, into):
+    return _ell_raw_call(plan, B, into)
+
+
+def _cv_fwd(plan, B, into):
+    # the full plan rides as residual: its arrays are the forward's own
+    # inputs (no extra memory) and its pytree structure is needed to
+    # shape the zero cotangents
+    return _ell_raw_call(plan, B, into), plan
+
+
+def _cv_bwd(plan, g):
+    # d/dB (A_res @ B + into) contracted with g: g_B = A_resᵀ @ g — the
+    # transposed-pattern ELL runs it through the 215 M rows/s gather
+    # engine instead of autodiff's transpose-of-gather, a scatter-add
+    # over the padded gathered rows (49 M rows/s; 60-90 ms at reddit
+    # scale — the round-5 training-step fat).  The plan's cotangents are
+    # structural zeros: gradients wrt the A values are NOT propagated on
+    # this path (attach bwd_plan only when A is a constant, e.g. a graph
+    # adjacency in GNN training).
+    return _zero_cotangents(plan), plan.bwd_plan(g), g
+
+
+_ell_apply_cv.defvjp(_cv_fwd, _cv_bwd)
+
+
+@jax.custom_vjp
+def _ell_apply_cv0(plan, B):
+    return _ell_raw_call(plan, B, None)
+
+
+def _cv0_fwd(plan, B):
+    return _ell_raw_call(plan, B, None), plan
+
+
+def _cv0_bwd(plan, g):
+    return _zero_cotangents(plan), plan.bwd_plan(g)
+
+
+_ell_apply_cv0.defvjp(_cv0_fwd, _cv0_bwd)
+
+
+def prepare_ell_transpose(plan: "EllPlan", n: int) -> "EllPlan":
+    """Transposed-pattern EllPlan built ON DEVICE from ``plan``'s own
+    buckets (works for any ELL plan, including the windowed hybrid's
+    fused-build residue, whose CSR never exists as standalone arrays):
+    flatten the padded (col, val, row) triples, argsort by col, and feed
+    the transposed CSR to :func:`prepare_ell_device`.  Padding entries
+    ride along as (col 0, val 0) no-ops.  One O(n) D2H (the transposed
+    degrees) is the only transfer.  Training-only: built lazily, never in
+    the timed tPre path."""
+    if not plan.buckets:
+        return EllPlan(m=n, buckets=(), chunk_row=jnp.zeros((0,), jnp.int32),
+                       padded_nnz=0, nnz=0, b_dtype=plan.b_dtype)
+    cols = jnp.concatenate([c.reshape(-1) for c, _ in plan.buckets])
+    vals = jnp.concatenate([v.reshape(-1) for _, v in plan.buckets])
+    offs, rows_parts = 0, []
+    for c, _ in plan.buckets:
+        N, w = c.shape
+        rows_parts.append(jnp.repeat(
+            jax.lax.dynamic_slice(plan.chunk_row, (offs,), (N,)), w))
+        offs += N
+    rows = jnp.concatenate(rows_parts)
+    t_deg = jnp.zeros((n,), jnp.int32).at[cols].add(1)
+    t_row_ptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(t_deg, dtype=jnp.int32)])
+    order = jnp.argsort(cols, stable=True)
+    t_col = rows[order]
+    t_val = vals[order]
+    t_row_ptr_host = np.asarray(t_row_ptr, dtype=np.int64)  # O(n) D2H
+    return prepare_ell_device(
+        t_row_ptr, t_col, t_val, m=n, nnz=int(cols.shape[0]),
+        res_row_ptr_host=t_row_ptr_host, b_dtype=plan.b_dtype)
+
+
+def with_bwd_plan(plan: "EllPlan", n: int) -> "EllPlan":
+    """Copy of ``plan`` carrying the transposed-pattern backward plan
+    (``n`` = B's row count).  __call__ then routes through the custom
+    VJP.  Only valid when the A values are constants (GNN adjacency)."""
+    return dataclasses.replace(plan, bwd_plan=prepare_ell_transpose(plan, n))
 
 
 jax.tree_util.register_pytree_node(

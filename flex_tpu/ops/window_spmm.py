@@ -1387,6 +1387,21 @@ def spmm_windowed(g: CSRGraph, B, **kwargs):
     return prepare_windowed(g, **kwargs)(jnp.asarray(B))
 
 
+def with_training_bwd(plan: WindowedPlan) -> WindowedPlan:
+    """Copy of ``plan`` whose residue ELL carries a transposed-pattern
+    backward plan (``ell_spmm.with_bwd_plan``): the residue's g_B then
+    runs as A_resᵀ·g through the gather engine instead of autodiff's
+    scatter-add over the padded gathered rows.  Training-only — the
+    transpose build (device argsort over the residue triples + one O(n)
+    D2H) never touches the timed tPre path.  Valid only when the A
+    values are constants (GNN adjacency); gradients wrt A values are not
+    propagated through the residue."""
+    if plan.ell.nnz == 0 or not plan.ell.buckets:
+        return plan
+    from flex_tpu.ops.ell_spmm import with_bwd_plan
+    return dataclasses.replace(plan, ell=with_bwd_plan(plan.ell, plan.n))
+
+
 def _win_flatten(p: WindowedPlan):
     return (p.A, p.first, p.out_panel, p.win_step, p.row_gather, p.ell,
             p.bwd_tabs), (

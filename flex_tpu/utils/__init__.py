@@ -21,6 +21,15 @@ def enable_compile_cache(path: str = "/tmp/flex_tpu_jax_cache") -> None:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Pallas/Mosaic kernel payloads embed the full dispatch traceback as
+    # MLIR locations INSIDE the serialized kernel, where the cache key's
+    # strip-debuginfo pass cannot reach — so editing any CALLER file
+    # (e.g. bench.py) shifted line numbers and changed the persistent
+    # key of every Pallas-containing executable (round-5 forensics:
+    # identical code hit, any harness edit missed).  Single-frame
+    # locations keep only the kernel-file frame, making keys
+    # caller-independent.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 
 REPO_CACHE = os.path.join(os.path.dirname(os.path.dirname(

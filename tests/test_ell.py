@@ -90,3 +90,51 @@ def test_ell_gather_assembly_into():
     chk = res_check(ref + 1.0, out[:, :8] , np.maximum(g.degrees, 1))
     assert chk.ok, chk
     assert np.all(out[g.degrees == 0] == 1.0)  # sentinel rows untouched
+
+
+def test_ell_transposed_backward():
+    # round-5: with_bwd_plan routes the call through a custom VJP whose
+    # g_B is the transposed-pattern ELL (gather engine) — must match
+    # autodiff through the plain plan and the analytic A^T g.
+    import jax
+    from flex_tpu.ops.ell_spmm import with_bwd_plan
+
+    g = rmat_graph(256, 8192, seed=5)
+    B = jnp.asarray(make_features(g, 16))
+    co = jnp.asarray(np.random.default_rng(0).random((g.m, 16), np.float32))
+    plan = prepare_ell(g, widths=(2, 4, 8))  # split rows exercise extras
+    tplan = with_bwd_plan(plan, g.n)
+    np.testing.assert_allclose(np.asarray(tplan(B)), np.asarray(plan(B)),
+                               rtol=1e-6, atol=1e-6)
+    g_auto = jax.grad(lambda b: (plan(b) * co).sum())(B)
+    g_cv = jax.grad(lambda b: (tplan(b) * co).sum())(B)
+    np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_auto),
+                               rtol=1e-5, atol=1e-5)
+    analytic = g.to_scipy().T @ np.asarray(co)
+    np.testing.assert_allclose(np.asarray(g_cv), analytic, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_ell_transposed_backward_into():
+    # the hybrid's into= path: g must flow to both the accumulator and B
+    import jax
+    from flex_tpu.ops.ell_spmm import with_bwd_plan
+
+    g = uniform_graph(512, 600, seed=1)
+    B = jnp.asarray(make_features(g, 8))
+    tplan = with_bwd_plan(prepare_ell(g), g.n)
+    co = jnp.asarray(
+        np.random.default_rng(1).random((g.m, 128), np.float32))
+
+    def f(b, into):
+        bp = jnp.concatenate(
+            [b, jnp.zeros((b.shape[0], 120), b.dtype)], axis=1)
+        return (tplan(bp, into=into) * co).sum()
+
+    into0 = jnp.zeros((g.m, 128), jnp.float32)
+    g_b, g_into = jax.grad(f, argnums=(0, 1))(B, into0)
+    analytic = (g.to_scipy().T @ np.asarray(co))[:, :8]
+    np.testing.assert_allclose(np.asarray(g_b), analytic, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_into), np.asarray(co),
+                               rtol=1e-6, atol=1e-6)

@@ -546,3 +546,27 @@ def test_autotune_suggests_transposed_below_k128():
         assert s32.prep_kwargs.get("transposed") is True
     if s128.method == "windowed":
         assert "transposed" not in s128.prep_kwargs
+
+
+def test_windowed_training_bwd_parity():
+    # round-5: with_training_bwd swaps the residue's autodiff scatter for
+    # the transposed-pattern gather; gradients must match the plain plan.
+    import jax
+
+    from flex_tpu.ops.window_spmm import with_training_bwd
+
+    g = community_graph(2000, 150_000, n_comm=4, seed=9, shuffle=False)
+    B = jnp.asarray(make_features(g, 16))
+    co = jnp.asarray(np.random.default_rng(0).random((g.m, 16), np.float32))
+    plan = prepare_windowed(g, tm=256, W=128, J=8, min_count=8)
+    tplan = with_training_bwd(plan)
+    assert tplan.ell.bwd_plan is not None
+    np.testing.assert_allclose(np.asarray(tplan(B)), np.asarray(plan(B)),
+                               rtol=1e-6, atol=1e-6)
+    g_auto = jax.grad(lambda b: (plan(b) * co).sum())(B)
+    g_cv = jax.grad(lambda b: (tplan(b) * co).sum())(B)
+    np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_auto),
+                               rtol=2e-4, atol=1e-4)
+    analytic = g.to_scipy().T @ np.asarray(co)
+    np.testing.assert_allclose(np.asarray(g_cv), analytic, rtol=2e-3,
+                               atol=2e-3)
