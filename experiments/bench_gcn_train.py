@@ -11,9 +11,16 @@ import numpy as np
 import jax
 
 sys.path.insert(0, "/root/repo")
-jax.config.update("jax_compilation_cache_dir", "/tmp/flex_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from flex_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-_T0:6.0f}s] {msg}", flush=True)
 import optax
 
 from flex_tpu.bench.harness import _time_device
@@ -27,7 +34,10 @@ from flex_tpu.sparse.device import DeviceCSR
 d = np.load("/tmp/reddit_posts_rbdeg_v3.npz")
 g = CSRGraph.from_arrays(d["row_ptr"], d["col"], d["vals"],
                          name="reddit_posts", order="RBD")
+log(f"graph ready: {g}; uploading CSR...")
 dev = DeviceCSR.from_graph(g)
+np.asarray(dev.vals[:1])  # sync the upload
+log("CSR uploaded")
 rng = np.random.default_rng(0)
 model = GCN(d_in=128, d_hidden=128, n_classes=41, nnz=g.nnz)
 X = jnp.asarray(make_features(g, 128))
@@ -46,13 +56,17 @@ co = jnp.asarray(rng.random((g.m, 128)).astype(np.float32))
 
 
 @jax.jit
-def _gb(p, b):
-    return jax.grad(lambda bb: (p(bb) * co).sum())(b)
+def _gb(p, b, c):  # c as an ARGUMENT: closing over the 119 MB cotangent
+    return jax.grad(lambda bb: (p(bb) * c).sum())(b)  # would bake it in
 
 
-g1 = np.asarray(_gb(base, X))
-g2 = np.asarray(_gb(tb, X))
+log("compiling grad executables for the parity check...")
+g1 = np.asarray(_gb(base, X, co))
+log("base grad done")
+g2 = np.asarray(_gb(tb, X, co))
+log("tbwd grad done")
 den = np.maximum(np.abs(g1), 1e-3)
+log("parity computed")
 print(f"grad parity windowed vs +tbwd: max_rel="
       f"{(np.abs(g1 - g2) / den).max():.2e}", flush=True)
 del base, tb, g1, g2
@@ -63,6 +77,7 @@ for name, prep in (("windowed", lambda: prepare_windowed(
                         prepare_windowed(g, dev=dev, tm=256, W=128,
                                          min_count=64))),
                    ("ell", lambda: prepare_ell(g, dev=dev))):
+    log(f"preparing {name}...")
     plan = prep()
     params = model.init(jax.random.PRNGKey(0))
     state = opt.init(params)

@@ -100,8 +100,18 @@ def _write_merged(results, path="docs/headline_table.csv"):
 
 
 def main():
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
     ks = (32, 128)
+    names = []
+    for a in args:
+        if a.startswith("--ks="):
+            # e.g. --ks=4,8,16 — the reference ships k-specialized
+            # kernels down to k=4 (v31-v34, flex.cu:4752-4759); these
+            # rows document the k<32 regime (VERDICT r04 missing #5)
+            ks = tuple(int(x) for x in a[5:].split(","))
+        else:
+            names.append(a)
+    names = names or DEFAULT
     results = []
     for name in names:
         g = load(name)
