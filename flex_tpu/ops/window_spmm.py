@@ -433,11 +433,23 @@ def sel_device_tables(sel: dict) -> dict:
             # one-time O(P·nblk) op outside the timed prepare
             "slot": jnp.asarray(sel["slot"]).astype(jnp.int32),
             "pstep0": jnp.asarray(sel["pstep0"].astype(np.int32)),
+            # pstep0-packed slot table (round-5 tpre_trace: saves the
+            # second nnz-sized gather, −131 ms): entry = ps·(nblk+1)+j1.
+            # Built on device at upload time; None when the packed range
+            # would overflow int32 (callers then keep the two-gather
+            # path).
+            "slotps": None,
             "first": jnp.asarray(sel["first"]),
             "out_panel": jnp.asarray(sel["out_panel"]),
             "win_step": jnp.asarray(sel["win_step"]),
             "row_gather": jnp.asarray(sel["row_gather"]),
         }
+        t = sel["dev_tables"]
+        P, nblk = int(sel["P"]), int(sel["nblk"])
+        if (int(sel["total_steps"]) + 1) * (nblk + 1) < 2**31:
+            ps = t["pstep0"][:P].astype(jnp.int32)
+            t["slotps"] = (t["slot"]
+                           + jnp.repeat(ps * (nblk + 1), nblk))
         # Backward-slot tables for the Pallas training backward
         # (one packed upload + one rows upload; ~0.6 MB at reddit scale).
         # Uploaded HERE so the timed prepare ships nothing, like the
@@ -469,11 +481,24 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     terms, zero extra cost."""
     nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
     transposed = layout[9] if len(layout) > 9 else False
+    ps_packed = layout[10] if len(layout) > 10 else False
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
     blk = dev_col // W
-    j1 = slot_tab[p * nblk + blk].astype(jnp.int32)
+    lut = slot_tab[p * nblk + blk].astype(jnp.int32)
+    if ps_packed:
+        # slot table carries pstep0[p]·(nblk+1) + j1 (sel_device_tables
+        # "slotps"): one nnz-sized gather yields BOTH the slot and the
+        # panel's first step — the separate pstep0[p] lookup was a second
+        # full nnz gather costing 131 ms at reddit scale (round-5
+        # tpre_trace itemization).  j1 <= nblk (a panel cannot keep more
+        # windows than blocks), so divmod by nblk+1 unpacks exactly.
+        j1 = lut % (nblk + 1)
+        ps = lut // (nblk + 1)
+    else:
+        j1 = lut
+        ps = pstep0[p]
     hit = j1 > 0
     j = j1 - 1
 
@@ -482,10 +507,10 @@ def _dense_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
     # slot, no post-slice copy of the multi-GB buffer (the copy doubled
     # transient HBM and OOM'd near the 6 GB dense cap).
     if transposed:
-        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+        flat = ((ps + j // g_step) * (TM * g_step * W)
                 + ((j % g_step) * W + dev_col % W) * TM + rows % TM)
     else:
-        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+        flat = ((ps + j // g_step) * (TM * g_step * W)
                 + (rows % TM) * (g_step * W) + (j % g_step) * W
                 + dev_col % W)
     # A set-scatter runs 200 vs 268 ms at 23M updates
@@ -675,18 +700,25 @@ def _build_windowed_ell_scatter2(dev_row_ptr, dev_col, dev_vals, slot_tab,
     """
     nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
     transposed = layout[9] if len(layout) > 9 else False
+    ps_packed = layout[10] if len(layout) > 10 else False
     a_elems = total_steps * TM * g_step * W
     rows = rows_from_row_ptr(dev_row_ptr, nnz, m)
     p = rows // TM
     blk = dev_col // W
-    j1 = slot_tab[p * nblk + blk].astype(jnp.int32)
+    lut = slot_tab[p * nblk + blk].astype(jnp.int32)
+    if ps_packed:  # see _dense_core: slot carries pstep0·(nblk+1) + j1
+        j1 = lut % (nblk + 1)
+        ps = lut // (nblk + 1)
+    else:
+        j1 = lut
+        ps = pstep0[p]
     hit = j1 > 0
     j = j1 - 1
     if transposed:
-        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+        flat = ((ps + j // g_step) * (TM * g_step * W)
                 + ((j % g_step) * W + dev_col % W) * TM + rows % TM)
     else:
-        flat = ((pstep0[p] + j // g_step) * (TM * g_step * W)
+        flat = ((ps + j // g_step) * (TM * g_step * W)
                 + (rows % TM) * (g_step * W) + (j % g_step) * W
                 + dev_col % W)
     miss_cum = jnp.cumsum((~hit).astype(jnp.int32))
@@ -1276,8 +1308,12 @@ def prepare_windowed(
 
     P, nblk, n_res = sel["P"], sel["nblk"], sel["n_res"]
     tabs = sel_device_tables(sel)
+    # pstep0-packed slot table when the range fits int32 (round-5: one
+    # nnz gather instead of two, −131 ms of tPre at reddit scale)
+    ps_packed = tabs.get("slotps") is not None
+    slot_tab = tabs["slotps"] if ps_packed else tabs["slot"]
     layout = (g.nnz, g.m, tm, W, nblk, n_res, sel["total_steps"], g_step,
-              sel.get("unique_rc", False), bool(transposed))
+              sel.get("unique_rc", False), bool(transposed), ps_packed)
     res_deg = sel.get("res_deg")
     if fused and res_deg is not None:
         from flex_tpu.ops.ell_spmm import _gather_assembly_tables
@@ -1323,7 +1359,7 @@ def prepare_windowed(
             bkw = {} if fused == "scatter2" else {
                 "chunks": sel.get("build_chunks")}
             A, buckets = builder(
-                dev.row_ptr, dev.col, dev.vals, tabs["slot"],
+                dev.row_ptr, dev.col, dev.vals, slot_tab,
                 tabs["pstep0"], st["h"], layout=layout,
                 bucket_meta=st["bucket_meta"], padded_total=st["padded"],
                 **bkw)
@@ -1339,7 +1375,7 @@ def prepare_windowed(
                         tuple((w, nc, nc) for w, nc in by_w.items()),
                         n_rows_last)
             A, buckets, chunk_row = _build_windowed_ell(
-                dev.row_ptr, dev.col, dev.vals, tabs["slot"],
+                dev.row_ptr, dev.col, dev.vals, slot_tab,
                 tabs["pstep0"], layout=layout, ell_meta=ell_meta,
                 chunks=sel.get("build_chunks"))
             c1, ex = _assembly(chunk_row)
@@ -1348,7 +1384,7 @@ def prepare_windowed(
                           chunk1=c1, extras=ex)
     else:
         A, res_col, res_vals, res_row_ptr_dev = _build_windowed(
-            dev.row_ptr, dev.col, dev.vals, tabs["slot"], tabs["pstep0"],
+            dev.row_ptr, dev.col, dev.vals, slot_tab, tabs["pstep0"],
             layout=layout, chunks=sel.get("build_chunks"))
         # The ELL metadata is built on device from the device res_row_ptr;
         # the host copy comes from the selection's res_deg when available
