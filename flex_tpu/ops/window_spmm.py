@@ -576,9 +576,13 @@ def _build_core(dev_row_ptr, dev_col, dev_vals, slot_tab, pstep0,
                                    slot_tab, pstep0, layout=layout,
                                    chunks=chunks)
     nnz, m, TM, W, nblk, n_res, total_steps, g_step, unique_rc = layout[:9]
-    pos = jnp.where(hit, n_res, miss_cum - 1)
-    res_src = jnp.zeros((n_res,), jnp.int32).at[pos].set(
-        jnp.arange(nnz, dtype=jnp.int32), mode="drop")
+    # residue source indices = stable argsort on the hit flag (misses
+    # first, CSR order preserved within) — measured 137 ms/iter cheaper
+    # than the rank scatter at reddit scale (round-5 /tmp/compact_ab:
+    # XLA's 1-bit-key sort beats the 87 M elem/s scatter wall)
+    res_src = jax.lax.slice(
+        jnp.argsort(hit.astype(jnp.int32), stable=True).astype(jnp.int32),
+        (0,), (n_res,))
     # (col, val) come back through ONE 2-wide row gather of a packed
     # [nnz, 2] view — row gathers beat two element gathers of n_res on
     # this chip.  The pack rides the INT32 side: bitcasting col ints to
