@@ -62,9 +62,21 @@ def make_train_step(model: GCN, plan, optimizer) -> Callable:
 
     The plan is passed into jit as a pytree *argument* (plans register as
     pytrees), never closed over — closures would bake its device arrays
-    into the executable as constants."""
+    into the executable as constants.
+
+    Windowed/ELL plans without a transposed backward get one attached
+    here (``with_training_bwd``): training differentiates only the params
+    — the adjacency is a constant — and the transposed-pattern residue
+    backward measures 376.6 -> 249.9 ms/step at reddit scale
+    (docs/measurements.md round-5)."""
     from flex_tpu.models.common import make_step
 
+    from flex_tpu.ops.window_spmm import WindowedPlan, with_training_bwd
+    if isinstance(plan, WindowedPlan) and plan.ell.bwd_plan is None:
+        plan = with_training_bwd(plan)
+    # bare EllPlan is NOT auto-wrapped: it does not record B's row count
+    # (n != m on rectangular graphs) — callers use ell_spmm.with_bwd_plan
+    # explicitly with the right n.
     return make_step(
         lambda p, plan_, X, y, mask: gcn_loss(model, p, plan_, X, y, mask),
         plan, optimizer)
